@@ -1,0 +1,88 @@
+"""Byte-level parity against blobs produced by the actual reference binary.
+
+tests/fixtures/*.ref were generated once by compiling the (unmodified)
+reference headers into a dump harness and compressing the committed .u32
+inputs.  Two properties are checked:
+
+1. our golden encoder reproduces every reference blob byte-for-byte,
+   except the final word of each interp prelude, whose unused high bits
+   the reference leaves uninitialized (bits.hpp bit_stream; we zero them);
+2. our decoder round-trips reference-produced blobs exactly - i.e. a user
+   switching frameworks can decode their existing compressed data.
+
+Reference rfold-4 blobs for the zipf/mixed inputs are absent because the
+reference fails its own round-trip there (the identity-mode defect noted in
+docs/FORMAT.md), which the harness refused to dump.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from ans_tpu.reference_model import model, rans_compat as rc
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+CODECS = {
+    "int": lambda: rc.AnsInt(),
+    "msb": lambda: rc.AnsMsb(),
+    "fold1": lambda: rc.AnsFold(1),
+    "fold2": lambda: rc.AnsFold(2),
+    "fold3": lambda: rc.AnsFold(3),
+    "fold4": lambda: rc.AnsFold(4),
+    "fold8": lambda: rc.AnsFold(8),
+    "rfold1": lambda: rc.AnsReorderFold(1),
+    "rfold2": lambda: rc.AnsReorderFold(2),
+    "rfold4": lambda: rc.AnsReorderFold(4),
+    "sint80": lambda: rc.AnsSint(80),
+    "smsb80": lambda: rc.AnsSmsb(80),
+}
+
+
+def _prelude_padding_span(method: str, blob: bytes):
+    """Byte range [a, b) of the final interp-prelude word (the only place
+    our bytes may legitimately differ from the reference's)."""
+    off = 0
+    if method.startswith("rfold"):
+        fidelity = int(method[5:])
+        flag = int.from_bytes(blob[0:4], "little")
+        off = 4 + (4 << (fidelity + 7) if flag == 1 else 0)
+    _, plen = model.load_prelude(blob[off:])
+    return off + plen - 4, off + plen
+
+
+def _cases():
+    sizes = json.loads((FIX / "sizes.json").read_text())
+    return sorted(sizes)
+
+
+@pytest.mark.parametrize("case", _cases())
+def test_parity(case):
+    dname, method = case.split(".")
+    data = np.fromfile(FIX / f"{dname}.u32", dtype="<u4")
+    ref = (FIX / f"{dname}.{method}.ref").read_bytes()
+
+    if method == "byte":
+        codec = rc.AnsByte()
+        payload = (data & 0xFF).astype(np.uint8).tobytes()
+        mine = codec.encode(payload)
+        assert len(mine) == len(ref)
+        diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
+        # byte coder prelude = raw interp block; padding is its last word
+        assert all(d < 4 * ((diffs[0] // 4) + 1) for d in diffs) if diffs else True
+        assert codec.decode(ref, len(payload)) == payload
+        return
+
+    codec = CODECS[method]()
+    mine = codec.encode(data)
+    assert len(mine) == len(ref), f"{case}: size {len(mine)} != {len(ref)}"
+    diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
+    if diffs:
+        a, b = _prelude_padding_span(method, mine)
+        assert all(a <= d < b for d in diffs), (
+            f"{case}: non-padding mismatch at {diffs[:5]} (padding [{a},{b}))")
+    # cross-decode the reference's own bytes
+    out = codec.decode(ref, len(data))
+    np.testing.assert_array_equal(out, data)
