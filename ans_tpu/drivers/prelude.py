@@ -1,0 +1,37 @@
+"""Prelude statistics per input: max symbol, prelude vs stream bytes.
+
+reference: src/prelude.cpp (the only driver that defines RECORD_STATS)
+prints max_sym per file; here the prelude/stream byte split is always
+available from the blob structure.
+"""
+
+from __future__ import annotations
+
+from ..reference_model.model import load_prelude
+from .. import models
+from . import _cli
+
+
+def run(values, name: str, engine: str = "lane"):
+    max_sym = int(values.max())
+    print(f"processing {name}")
+    print(f"\tmax_sym = {max_sym}")
+    for method in ("ANS", "ANSmsb", "ANSfold-2"):
+        codec = models.get(method, engine)
+        blob = codec.encode(values)
+        _, plen = load_prelude(blob)
+        total = len(blob)
+        print(f"\t{method}: prelude_bytes={plen} stream_bytes={total - plen} "
+              f"prelude_bpi={8 * plen / len(values):.4f} "
+              f"total_bpi={8 * total / len(values):.4f}")
+
+
+def main(argv=None):
+    p = _cli.make_parser("prelude statistics", methods_arg=True)
+    args = p.parse_args(argv)
+    for name, values in _cli.load_inputs(args):
+        run(values, name, getattr(args, "engine", "lane"))
+
+
+if __name__ == "__main__":
+    main()

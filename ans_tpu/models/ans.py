@@ -1,0 +1,255 @@
+"""Lane-engine ANS codec family (the TPU-native counterparts of
+reference include/ans_int.hpp, ans_msb.hpp, ans_fold.hpp,
+ans_reorder_fold.hpp, ans_sint.hpp, ans_smsb.hpp).
+
+Pipeline per block (two-pass semi-static, reference call stack
+SURVEY.md section 3.1, rebuilt TPU-first):
+  1. map + exception extraction + histogram  - one fused device pass
+  2. adjust_freqs frame search               - host float64 (bit-exact
+     with the compat model, so preludes are byte-identical to compat)
+  3. prelude serialization                   - host (tiny, interp-coded)
+  4. S-lane stream coding                    - device (ops.lane_codec)
+
+The wire format is the lane format of docs/FORMAT.md: compat method
+header + prelude, then S independent per-lane substreams.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MSB_MAX_SIGMA, fold_max_sigma, fold_threshold
+from ..ops import lane_codec, mappings_jax as mj, tables
+from ..reference_model import mappings as map_np
+from ..reference_model.model import (adjust_freqs, load_prelude,
+                                     serialize_prelude)
+from . import config, framing
+
+U32 = jnp.uint32
+
+
+# --------------------------------------------------------------------------
+# shared stream helpers
+# --------------------------------------------------------------------------
+
+def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
+                   lanes: int | None) -> bytes:
+    S = lanes or config.default_lane_count(n)
+    T = lane_codec.lane_steps(n, S)
+    et = tables.build_enc_table(nfreqs)
+    pad = T * S - n
+    mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
+    if nb_dev is None:
+        nb_ts = jnp.zeros((T, S), U32)
+        excb_ts = jnp.zeros((T, S, 3), jnp.uint8)
+    else:
+        nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
+        excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
+    payload, lane_len, states = lane_codec.encode_lanes(
+        mapped_ts, nb_ts, excb_ts, jnp.int32(n),
+        jnp.asarray(et.freq), jnp.asarray(et.base), jnp.asarray(et.ub),
+        S=S, T=T, log2m=et.log2m)
+    lane_len = np.asarray(lane_len)
+    states = np.asarray(states)
+    total = int(lane_len.sum())
+    return framing.pack(lane_len, states, np.asarray(payload[:total]))
+
+
+def _decode_stream(buf: bytes, off: int, n: int,
+                   dt: tables.DecTable) -> np.ndarray:
+    S, lane_len, states, payload = framing.parse(buf, off)
+    T = lane_codec.lane_steps(n, S)
+    lane_start = np.concatenate(
+        ([0], np.cumsum(lane_len)[:-1])).astype(np.int32)
+    stream = np.concatenate([payload, np.zeros(8, np.uint8)])
+    has_exc = dt.high is not None
+    dummy = np.zeros(1, np.uint32)
+    out = lane_codec.decode_lanes(
+        jnp.asarray(stream), jnp.asarray(lane_start), jnp.asarray(states),
+        jnp.asarray(dt.freq), jnp.asarray(dt.offset), jnp.asarray(dt.sym),
+        jnp.asarray(dt.high if has_exc else dummy),
+        jnp.asarray(dt.nb if has_exc else dummy),
+        jnp.int32(n), S=S, T=T, log2m=dt.log2m, has_exc=has_exc)
+    return np.asarray(out).reshape(-1)[:n].astype(np.uint32)
+
+
+def _require_nonempty(values):
+    if len(values) == 0:
+        raise ValueError("cannot encode an empty sequence")
+
+
+# --------------------------------------------------------------------------
+# codecs
+# --------------------------------------------------------------------------
+
+class AnsInt:
+    """Large-alphabet rANS directly over u32 symbols (reference:
+    ans_int.hpp:38-306), S-lane stream."""
+
+    def __init__(self, h_approx: int = 1, lanes: int | None = None):
+        self.h_approx = h_approx
+        self.lanes = lanes
+        self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
+
+    def encode(self, values) -> bytes:
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        _require_nonempty(values)
+        max_sym = int(values.max())
+        freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
+        nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx)
+        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        stream = _encode_stream(jnp.asarray(values), None, None,
+                                len(values), nfreqs, self.lanes)
+        return prelude + stream
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        nfreqs, plen = load_prelude(buf)
+        dt = tables.build_dec_table(nfreqs)
+        return _decode_stream(buf, plen, n, dt)
+
+
+class AnsSint(AnsInt):
+    """reference: ans_sint.hpp - AnsInt with the H_approx knob exposed."""
+
+    def __init__(self, h_approx: int, lanes: int | None = None):
+        super().__init__(h_approx, lanes)
+
+
+class AnsMsb:
+    """Magnitude-bucketed rANS with exception bytes (reference:
+    ans_msb.hpp:41-322), S-lane stream."""
+
+    def __init__(self, h_approx: int = 1, lanes: int | None = None):
+        self.h_approx = h_approx
+        self.lanes = lanes
+        self.name = "ANSmsb" if h_approx == 1 else f"ANSsmsb-{h_approx}"
+
+    def encode(self, values) -> bytes:
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        _require_nonempty(values)
+        mapped, k, b, hist = mj.msb_map_hist(jnp.asarray(values),
+                                             length=MSB_MAX_SIGMA)
+        freqs = np.asarray(hist).astype(np.uint64)
+        max_sym = int(np.flatnonzero(freqs)[-1])
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
+                                self.lanes)
+        return prelude + stream
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        nfreqs, plen = load_prelude(buf)
+        syms = np.arange(len(nfreqs), dtype=np.uint32)
+        dt = tables.build_dec_table(nfreqs,
+                                    map_np.msb_unmap_high(syms),
+                                    map_np.msb_exception_bytes(syms))
+        return _decode_stream(buf, plen, n, dt)
+
+
+class AnsSmsb(AnsMsb):
+    """reference: ans_smsb.hpp - AnsMsb with the H_approx knob exposed."""
+
+    def __init__(self, h_approx: int, lanes: int | None = None):
+        super().__init__(h_approx, lanes)
+
+
+class AnsFold:
+    """Generalized byte-fold rANS, fidelity 1..8 (reference:
+    ans_fold.hpp:38-311), S-lane stream."""
+
+    def __init__(self, fidelity: int, h_approx: int = 1,
+                 lanes: int | None = None):
+        assert 1 <= fidelity <= 8
+        self.fidelity = fidelity
+        self.h_approx = h_approx
+        self.lanes = lanes
+        self.name = f"ANSfold-{fidelity}"
+
+    def encode(self, values) -> bytes:
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        _require_nonempty(values)
+        sigma_cap = fold_max_sigma(self.fidelity)
+        mapped, k, b, hist = mj.fold_map_hist(
+            jnp.asarray(values), fidelity=self.fidelity, length=sigma_cap)
+        freqs = np.asarray(hist).astype(np.uint64)
+        max_sym = int(np.flatnonzero(freqs)[-1])
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
+                                self.lanes)
+        return prelude + stream
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        nfreqs, plen = load_prelude(buf)
+        syms = np.arange(len(nfreqs), dtype=np.uint32)
+        high, nb = map_np.fold_unmap_high(syms, self.fidelity)
+        dt = tables.build_dec_table(nfreqs, high, nb)
+        return _decode_stream(buf, plen, n, dt)
+
+
+class AnsReorderFold:
+    """Fold + most-frequent-symbol remap (reference:
+    ans_reorder_fold.hpp:69-385), S-lane stream.  The u32 reorder flag and
+    raw most_frequent[] table mirror the compat header."""
+
+    def __init__(self, fidelity: int, h_approx: int = 1,
+                 lanes: int | None = None):
+        self.fidelity = fidelity
+        self.h_approx = h_approx
+        self.lanes = lanes
+        self.name = f"ANSrfold-{fidelity}"
+
+    def encode(self, values) -> bytes:
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        _require_nonempty(values)
+        f = self.fidelity
+        thres = fold_threshold(f)
+        max_raw = int(values.max())
+        counts = np.bincount(values, minlength=max_raw + 1)
+        sigma = int((counts != 0).sum())
+        header = bytearray()
+        if sigma < thres:
+            remapped = jnp.asarray(values)
+            header += (0).to_bytes(4, "little")
+        else:
+            present = np.flatnonzero(counts)
+            order = np.lexsort((present, -counts[present]))
+            top = present[order[:thres]].astype(np.uint32)
+            mapping = np.arange(max_raw + 1, dtype=np.uint32) + np.uint32(
+                thres)
+            mapping[top] = np.arange(thres, dtype=np.uint32)
+            remapped = jnp.asarray(mapping)[jnp.asarray(values)]
+            header += (1).to_bytes(4, "little")
+            header += top.astype("<u4").tobytes()
+        sigma_cap = fold_max_sigma(f)
+        mapped, k, b, hist = mj.fold_map_hist(remapped, fidelity=f,
+                                              length=sigma_cap)
+        freqs = np.asarray(hist).astype(np.uint64)
+        max_sym = int(np.flatnonzero(freqs)[-1])
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
+                                self.lanes)
+        return bytes(header) + prelude + stream
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        f = self.fidelity
+        thres = fold_threshold(f)
+        do_reorder = int.from_bytes(buf[0:4], "little")
+        pos = 4
+        if do_reorder == 1:
+            mf = np.frombuffer(buf, dtype="<u4", count=thres, offset=pos)
+            pos += 4 * thres
+        else:
+            mf = np.arange(thres, dtype=np.uint32)
+        nfreqs, plen = load_prelude(buf[pos:])
+        syms = np.arange(len(nfreqs), dtype=np.uint32)
+        high, nb = map_np.fold_unmap_high(syms, f)
+        if do_reorder == 1:
+            high = np.where(syms < thres, mf[np.minimum(syms, thres - 1)],
+                            high - np.uint32(thres)).astype(np.uint32)
+        else:
+            high = np.where(syms < thres, syms, high).astype(np.uint32)
+        dt = tables.build_dec_table(nfreqs, high, nb)
+        return _decode_stream(buf, pos + plen, n, dt)

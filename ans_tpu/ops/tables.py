@@ -1,0 +1,85 @@
+"""Encoder/decoder table construction for the lane-format rANS engine.
+
+Host-side (NumPy, vectorized) — tables are built once per block from the
+rescaled frequency vector and uploaded to the device.  Equivalent of the
+reference's table builders (ans_int.hpp:52-64 encoder entries,
+ans_int.hpp:100-163 decoder slot table, ans_fold.hpp:193-204 precomputed
+un-fold entries), re-laid-out as structure-of-arrays so Pallas/VPU gathers
+hit contiguous u32 vectors instead of packed structs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import A_KM_LOG2, A_MAX_FRAME_LOG2
+
+# fmt A lower bound: state in [A_L, 256*A_L)
+A_L = 1 << A_KM_LOG2
+
+
+@dataclass(frozen=True)
+class EncTable:
+    """Per-symbol encode table (index = mapped symbol id)."""
+
+    freq: np.ndarray  # u32 (sigma,)
+    base: np.ndarray  # u32 (sigma,) cumulative freq
+    ub: np.ndarray  # u32 (sigma,) renorm threshold 256*(L/M)*freq
+    frame_size: int
+    log2m: int
+
+
+@dataclass(frozen=True)
+class DecTable:
+    """Per-slot decode table (index = state & (M-1)); SoA layout."""
+
+    freq: np.ndarray  # u32 (M,)
+    offset: np.ndarray  # u32 (M,) slot - base[sym]
+    sym: np.ndarray  # u32 (M,) owning symbol
+    # fold/msb extensions (None for identity coders like ans_int):
+    high: np.ndarray | None  # u32 (M,) reconstructed high part
+    nb: np.ndarray | None  # u32 (M,) exception bytes to read
+    frame_size: int
+    log2m: int
+
+
+def _check_frame(M: int) -> int:
+    if M & (M - 1):
+        raise ValueError(f"frame size {M} not a power of two")
+    log2m = M.bit_length() - 1
+    if log2m > A_MAX_FRAME_LOG2:
+        raise ValueError(
+            f"frame 2**{log2m} exceeds fmt A limit 2**{A_MAX_FRAME_LOG2}")
+    return log2m
+
+
+def build_enc_table(nfreqs: np.ndarray) -> EncTable:
+    nf = np.asarray(nfreqs, dtype=np.uint64)
+    M = int(nf.sum())
+    log2m = _check_frame(M)
+    base = np.concatenate(([0], np.cumsum(nf)[:-1])).astype(np.uint32)
+    # 256 * (L/M) * freq; L/M = 2**(A_KM_LOG2 - log2m) is an exact integer
+    k256 = np.uint64(1) << np.uint64(A_KM_LOG2 - log2m + 8)
+    ub = (k256 * nf).astype(np.uint32)  # <= 2**31 * f / M <= 2**31, fits
+    return EncTable(freq=nf.astype(np.uint32), base=base, ub=ub,
+                    frame_size=M, log2m=log2m)
+
+
+def build_dec_table(nfreqs: np.ndarray,
+                    high_of_sym: np.ndarray | None = None,
+                    nb_of_sym: np.ndarray | None = None) -> DecTable:
+    nf = np.asarray(nfreqs, dtype=np.int64)
+    M = int(nf.sum())
+    log2m = _check_frame(M)
+    sym = np.repeat(np.arange(len(nf), dtype=np.uint32), nf)
+    freq = np.repeat(nf, nf).astype(np.uint32)
+    base = np.concatenate(([0], np.cumsum(nf)[:-1]))
+    offset = (np.arange(M, dtype=np.int64) - base[sym]).astype(np.uint32)
+    high = nb = None
+    if high_of_sym is not None:
+        high = np.asarray(high_of_sym, dtype=np.uint32)[sym]
+        nb = np.asarray(nb_of_sym, dtype=np.uint32)[sym]
+    return DecTable(freq=freq, offset=offset, sym=sym, high=high, nb=nb,
+                    frame_size=M, log2m=log2m)

@@ -1,0 +1,106 @@
+"""Round-trip + format tests for the S-lane TPU engine (ops.lane_codec,
+models.ans) on the CPU backend.
+
+Mirrors the reference's REQUIRE_EQUAL-after-decode strategy
+(reference: src/table_efficiency.cpp:104-106) plus lane-format-specific
+properties: compressed size stays within the lane directory overhead of
+the compat format, and streams decode independently of lane count used
+elsewhere.
+"""
+
+import numpy as np
+import pytest
+
+from ans_tpu import models
+from ans_tpu.models import config, framing
+from ans_tpu.reference_model import rans_compat as rc
+
+LANES = 64  # fixed for tests: bounds jit cache growth
+
+
+def _lane(name):
+    c = models.get(name, "lane")
+    c.lanes = LANES
+    return c
+
+
+def _roundtrip(codec, values):
+    blob = codec.encode(values)
+    out = codec.decode(blob, len(values))
+    np.testing.assert_array_equal(out, values)
+    return blob
+
+
+@pytest.mark.parametrize("name", ["zipf12", "geometric", "uniform_small",
+                                  "tiny", "single_sym"])
+def test_lane_ans_int(datasets, name):
+    _roundtrip(_lane("ANS"), datasets[name])
+
+
+@pytest.mark.parametrize("name", ["zipf12", "zipf_large", "geometric",
+                                  "wide", "tiny", "single_sym"])
+def test_lane_ans_msb(datasets, name):
+    _roundtrip(_lane("ANSmsb"), datasets[name])
+
+
+@pytest.mark.parametrize("fidelity", [1, 2, 3, 4, 8])
+def test_lane_ans_fold(datasets, fidelity):
+    _roundtrip(_lane(f"ANSfold-{fidelity}"), datasets["zipf_large"])
+    _roundtrip(_lane(f"ANSfold-{fidelity}"), datasets["wide"])
+
+
+@pytest.mark.parametrize("fidelity", [1, 2, 4])
+def test_lane_ans_rfold(datasets, fidelity):
+    _roundtrip(_lane(f"ANSrfold-{fidelity}"), datasets["zipf12"])
+    _roundtrip(_lane(f"ANSrfold-{fidelity}"), datasets["zipf_large"])
+
+
+@pytest.mark.parametrize("h", [1, 80, 320])
+def test_lane_sint_smsb(datasets, h):
+    _roundtrip(_lane(f"ANSsint-{h}"), datasets["zipf12"])
+    _roundtrip(_lane(f"ANSsmsb-{h}"), datasets["zipf_large"])
+
+
+def test_lane_edge_cases():
+    for vals in [np.array([7], dtype=np.uint32),
+                 np.full(3, 9, np.uint32),
+                 np.arange(LANES, dtype=np.uint32),          # exactly S
+                 np.arange(LANES + 1, dtype=np.uint32),      # S + 1
+                 np.full(1000, 0, np.uint32),
+                 np.array([0xFFFFFFFF, 0, 0xFFFFFFFF, 1], np.uint32)]:
+        for name in ["ANS", "ANSmsb", "ANSfold-3", "ANSrfold-1"]:
+            if name == "ANS" and vals.max() > (1 << 22):
+                continue  # fmt A frame cap; huge raw alphabets use msb/fold
+            _roundtrip(_lane(name), vals)
+
+
+def test_lane_empty_raises():
+    with pytest.raises(ValueError):
+        _lane("ANSmsb").encode(np.empty(0, np.uint32))
+
+
+def test_lane_size_near_compat(datasets):
+    """Lane BPI <= compat BPI + directory overhead (8-bit renorm can only
+    tighten the stream vs 32-bit renorm)."""
+    v = datasets["zipf_large"]
+    for name, compat in [("ANSmsb", rc.AnsMsb()), ("ANSfold-2", rc.AnsFold(2))]:
+        lane_blob = _lane(name).encode(v)
+        compat_blob = compat.encode(v)
+        slack = framing.overhead_bytes(LANES) + 8
+        assert len(lane_blob) <= len(compat_blob) + slack
+
+
+def test_lane_count_config():
+    assert config.default_lane_count(100) == 32
+    assert config.default_lane_count(100_000_000) == 8192
+    s = config.default_lane_count(10_000_000)
+    assert s & (s - 1) == 0
+
+
+def test_decode_is_size_directed(datasets):
+    """Decoding a prefix: caller-supplied n governs output length (the
+    reference contract; streams are not self-terminating)."""
+    v = datasets["zipf12"]
+    blob = _lane("ANSmsb").encode(v)
+    out = _lane("ANSmsb").decode(blob, len(v))
+    assert len(out) == len(v)
