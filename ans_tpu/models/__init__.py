@@ -14,6 +14,35 @@ from __future__ import annotations
 from ..reference_model import rans_compat as _rc
 from . import ans as _lane
 
+
+def _host_methods():
+    """Engine-independent codecs (baselines + byte splitters); lazy
+    imports keep `import ans_tpu.models` light."""
+    from . import bytes as _b
+    from .arith import Arith
+    from .pfor import OptPFor
+    from .shuff import Shuff
+    return {
+        "vbyte": _b.Vbyte,
+        "streamvbyte": _b.StreamVbyte,
+        "optpfor": OptPFor,
+        "OptPFor": OptPFor,
+        "shuff": Shuff,
+        "arith": Arith,
+        "fse": _b.FseEquivalent,
+        "huffzero": _b.HuffZero,
+        "huff0": _b.HuffZero,
+        "vbytefse": _b.VbyteFse,
+        "streamvbytefse": _b.StreamVbyteFse,
+        "vbytehuffzero": _b.VbyteHuffzero,
+        "streamvbytehuffzero": _b.StreamVbyteHuffzero,
+        "vbyteANS": _b.VbyteAns,
+        "streamvbyteANS": _b.StreamVbyteAns,
+        "entropy_only": _b.EntropyOnly,
+        "entropy": _b.EntropyOnly,
+    }
+
+
 _LANE = {
     "ANS": lambda: _lane.AnsInt(),
     "ANSmsb": lambda: _lane.AnsMsb(),
@@ -40,11 +69,14 @@ _COMPAT = {
 
 
 def available(engine: str = "lane"):
-    return sorted(_LANE if engine == "lane" else _COMPAT)
+    reg = dict(_LANE if engine == "lane" else _COMPAT)
+    reg.update(_host_methods())
+    return sorted(reg)
 
 
 def get(name: str, engine: str = "lane"):
-    reg = {"lane": _LANE, "compat": _COMPAT}[engine]
+    reg = dict({"lane": _LANE, "compat": _COMPAT}[engine])
+    reg.update(_host_methods())
     if name not in reg:
         raise KeyError(f"unknown method {name!r}; known: {sorted(reg)}")
     return reg[name]()

@@ -1,0 +1,153 @@
+"""Semi-static arithmetic coder baseline.
+
+Counterpart of the reference's 56-bit Moffat coder
+(reference: include/arith.hpp:57-483: scaled pow2 cumulative model,
+carry-propagating byte-oriented encoder, binary-search decoder, recursive
+prelude).  Re-designed as a classic carryless 32-bit range coder
+(Subbotin scheme) with the same model discipline (histogram scaled to a
+power-of-two total, every present symbol >= 1) and this framework's
+vbyte+interp prelude; the wire format is self-defined (the reference's
+is its own too — no cross-compatibility requirement for baselines).
+
+Host implementation: the coder is inherently sequential (single carry
+chain), so it stays NumPy/Python — it exists as a measurement baseline,
+not a north-star target (SURVEY.md section 7 step 5).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+
+from ..reference_model import interp, vbyte
+
+_TOP = 1 << 56
+_BOT = 1 << 48
+_MASK = (1 << 64) - 1
+_W = 64
+
+
+def _scale_counts(counts: np.ndarray, total_log2: int) -> np.ndarray:
+    """Scale positive counts to sum exactly 2**total_log2, each >= 1
+    (model discipline of arith.hpp:210-241)."""
+    target = 1 << total_log2
+    c = counts.astype(np.float64)
+    s = np.maximum((c * target / c.sum()).astype(np.int64), 1)
+    diff = int(target - s.sum())
+    order = np.argsort(-s)
+    i = 0
+    while diff != 0:
+        j = order[i % len(order)]
+        if diff > 0:
+            s[j] += 1
+            diff -= 1
+        elif s[j] > 1:
+            s[j] -= 1
+            diff += 1
+        i += 1
+    return s
+
+
+class Arith:
+    name = "arith"
+
+    def encode(self, values) -> bytes:
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        if len(values) == 0:
+            raise ValueError("cannot encode an empty sequence")
+        max_sym = int(values.max())
+        counts = np.bincount(values, minlength=max_sym + 1)
+        syms = np.flatnonzero(counts)
+        sigma = len(syms)
+        total_log2 = max(16, sigma.bit_length() + 1)
+        freq = _scale_counts(counts[syms], total_log2)
+        cum = np.concatenate(([0], np.cumsum(freq)))
+        total = int(cum[-1])
+
+        out = bytearray()
+        out += vbyte.encode_u32(max_sym)
+        out += vbyte.encode_u32(sigma)
+        out.append(total_log2)
+        pre = interp.encode(syms, sigma, max_sym + 1)
+        out += vbyte.encode_u32(len(pre))
+        out += pre
+        inc = np.cumsum(freq + 1) - 1
+        pre2 = interp.encode(inc, sigma, total + sigma + 1)
+        out += vbyte.encode_u32(len(pre2))
+        out += pre2
+
+        rank = np.zeros(max_sym + 1, dtype=np.int64)
+        rank[syms] = np.arange(sigma)
+        ids = rank[values]
+        lo_arr = cum[ids].tolist()
+        f_arr = freq[ids].tolist()
+
+        low, rng = 0, _MASK
+        payload = bytearray()
+        for lo_, f_ in zip(lo_arr, f_arr):
+            r = rng // total
+            low = (low + r * lo_) & _MASK
+            rng = r * f_
+            while True:
+                if (low ^ (low + rng)) < _TOP:
+                    pass
+                elif rng < _BOT:
+                    rng = (-low) & (_BOT - 1)
+                else:
+                    break
+                payload.append((low >> 56) & 0xFF)
+                low = (low << 8) & _MASK
+                rng = (rng << 8) & _MASK
+        for _ in range(8):
+            payload.append((low >> 56) & 0xFF)
+            low = (low << 8) & _MASK
+        out += payload
+        return bytes(out)
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        max_sym, pos = vbyte.decode_u32(buf, 0)
+        sigma, pos = vbyte.decode_u32(buf, pos)
+        total_log2 = buf[pos]
+        pos += 1
+        plen, pos = vbyte.decode_u32(buf, pos)
+        syms, _ = interp.decode(buf[pos:pos + plen + 8], sigma, max_sym + 1)
+        pos += plen
+        plen2, pos = vbyte.decode_u32(buf, pos)
+        total = 1 << total_log2
+        inc, _ = interp.decode(buf[pos:pos + plen2 + 8], sigma,
+                               total + sigma + 1)
+        pos += plen2
+        freq = np.diff(np.concatenate(([-1], np.asarray(inc)))) - 1
+        freq[0] = int(inc[0])
+        cum = np.concatenate(([0], np.cumsum(freq)))
+        syms = np.asarray(syms, dtype=np.uint32)
+        cum_l = cum.tolist()
+        freq_l = freq.tolist()
+
+        low, rng, code = 0, _MASK, 0
+        p = pos
+        for _ in range(8):
+            code = ((code << 8) | (buf[p] if p < len(buf) else 0)) & _MASK
+            p += 1
+        out = np.empty(n, dtype=np.uint32)
+        for i in range(n):
+            r = rng // total
+            target = min(((code - low) & _MASK) // r, total - 1)
+            k = bisect.bisect_right(cum_l, target) - 1
+            out[i] = syms[k]
+            low = (low + r * cum_l[k]) & _MASK
+            rng = r * freq_l[k]
+            while True:
+                if (low ^ (low + rng)) < _TOP:
+                    pass
+                elif rng < _BOT:
+                    rng = (-low) & (_BOT - 1)
+                else:
+                    break
+                code = ((code << 8) | (buf[p] if p < len(buf) else 0)) \
+                    & _MASK
+                low = (low << 8) & _MASK
+                rng = (rng << 8) & _MASK
+                p += 1
+        return out

@@ -1,0 +1,88 @@
+"""Round-trip tests for the baseline codec family: byte splitters,
+byte-entropy composites, OptPFor, shuff, arith, entropy_only.
+
+Mirrors the reference's comparison-method registry
+(reference: include/methods.hpp:38-637).
+"""
+
+import numpy as np
+import pytest
+
+from ans_tpu import models
+
+
+def _roundtrip(name, values):
+    codec = models.get(name)
+    blob = codec.encode(values)
+    out = codec.decode(blob, len(values))
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.uint32), values)
+    return blob
+
+
+SPLITTERS = ["vbyte", "streamvbyte", "optpfor"]
+ENTROPY = ["shuff", "arith", "fse", "huffzero"]
+COMPOSITES = ["vbytefse", "vbytehuffzero", "vbyteANS",
+              "streamvbytefse", "streamvbytehuffzero", "streamvbyteANS"]
+
+
+@pytest.mark.parametrize("name", SPLITTERS)
+@pytest.mark.parametrize("data", ["zipf12", "wide", "tiny", "geometric"])
+def test_splitters(datasets, name, data):
+    _roundtrip(name, datasets[data])
+
+
+@pytest.mark.parametrize("name", ENTROPY)
+def test_entropy_coders(datasets, name):
+    v = datasets["zipf12"][:8000]
+    blob = _roundtrip(name, v)
+    from ans_tpu.utils import metrics
+    h0 = metrics.compute_entropy(v)
+    if name in ("shuff", "arith"):
+        # direct symbol coders should land near H0 (+ prelude slack)
+        assert 8 * len(blob) / len(v) < h0 + 2.5
+    else:
+        # fse/huff0 code the raw u32 *bytes* (methods.hpp:159-176), so
+        # they sit well above symbol H0 — like the reference's Table 9
+        assert 8 * len(blob) / len(v) < 4 * 8
+
+
+@pytest.mark.parametrize("name", COMPOSITES)
+def test_composites(datasets, name):
+    _roundtrip(name, datasets["zipf12"][:6000])
+    _roundtrip(name, datasets["wide"][:4000])
+
+
+def test_vbyte_bytes_exact():
+    """vbyte wire format matches the scalar golden vbyte
+    (include/vbyte.hpp:32-95)."""
+    from ans_tpu.reference_model import vbyte as vb
+    vals = np.array([0, 1, 127, 128, 300, 1 << 20, (1 << 32) - 1],
+                    dtype=np.uint32)
+    blob = models.get("vbyte").encode(vals)
+    expect = b"".join(vb.encode_u32(int(v)) for v in vals)
+    assert blob == expect
+
+
+def test_optpfor_beats_vbyte_on_packed_data(rng):
+    v = rng.integers(0, 64, size=12800).astype(np.uint32)  # 6-bit data
+    pf = models.get("optpfor").encode(v)
+    vbb = models.get("vbyte").encode(v)
+    assert len(pf) < len(vbb)
+
+
+def test_entropy_only(datasets):
+    from ans_tpu.utils import metrics
+    v = datasets["zipf12"]
+    blob = models.get("entropy_only").encode(v)
+    assert len(blob) == int(np.ceil(
+        metrics.compute_entropy(v) * len(v) / 8.0))
+    with pytest.raises(RuntimeError):
+        models.get("entropy_only").decode(blob, len(v))
+
+
+def test_shuff_single_and_skewed():
+    _roundtrip("shuff", np.full(300, 9, np.uint32))
+    _roundtrip("arith", np.full(300, 9, np.uint32))
+    skew = np.r_[np.zeros(10000), np.arange(40)].astype(np.uint32)
+    _roundtrip("shuff", skew)
+    _roundtrip("arith", skew)
