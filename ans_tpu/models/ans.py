@@ -46,31 +46,25 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
     else:
         nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
         excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
-    payload, lane_len, states = lane_codec.encode_lanes(
+    stream, total, states, step_base = lane_codec.encode_lanes(
         mapped_ts, nb_ts, excb_ts, jnp.int32(n),
         jnp.asarray(et.freq), jnp.asarray(et.base), jnp.asarray(et.ub),
         S=S, T=T, log2m=et.log2m)
-    lane_len = np.asarray(lane_len)
-    states = np.asarray(states)
-    total = int(lane_len.sum())
-    return framing.pack(lane_len, states, np.asarray(payload[:total]))
+    total = int(total)
+    t_sec, sec_len = framing.choose_sections(np.asarray(step_base),
+                                             total, T)
+    return framing.pack(np.asarray(states), np.asarray(stream[:total]),
+                        t_sec, sec_len)
 
 
 def _decode_stream(buf: bytes, off: int, n: int,
                    dt: tables.DecTable) -> np.ndarray:
-    S, lane_len, states, payload = framing.parse(buf, off)
+    S, states, payload, t_sec, sec_len = framing.parse(buf, off)
     T = lane_codec.lane_steps(n, S)
-    lane_start = np.concatenate(
-        ([0], np.cumsum(lane_len)[:-1])).astype(np.int32)
-    stream = np.concatenate([payload, np.zeros(8, np.uint8)])
     has_exc = dt.high is not None
-    dummy = np.zeros(1, np.uint32)
-    out = lane_codec.decode_lanes(
-        jnp.asarray(stream), jnp.asarray(lane_start), jnp.asarray(states),
-        jnp.asarray(dt.freq), jnp.asarray(dt.offset), jnp.asarray(dt.sym),
-        jnp.asarray(dt.high if has_exc else dummy),
-        jnp.asarray(dt.nb if has_exc else dummy),
-        jnp.int32(n), S=S, T=T, log2m=dt.log2m, has_exc=has_exc)
+    from . import engine as _engine
+    out = _engine.decode(payload, states, dt, n, S=S, T=T,
+                         has_exc=has_exc, t_sec=t_sec, sec_len=sec_len)
     return np.asarray(out).reshape(-1)[:n].astype(np.uint32)
 
 

@@ -1,22 +1,37 @@
-"""Lane-format ("ATF" fmt A) rANS engine: vectorized over S independent
-states, jittable end-to-end (CPU/TPU via XLA; Pallas TPU kernels layer on
-top of the same layout in pallas_kernels.py).
+"""Lane-format ("ATF" fmt 2) rANS engine: S lanes in lockstep over one
+shared byte stream, vectorized and jittable end-to-end (XLA engine here;
+the Pallas TPU kernel in pallas_decode.py consumes the same format).
 
 Massively-parallel generalization of the reference's 4-state interleave
 (reference: ans_int.hpp:212-241 encode, :257-276 decode; ans_fold.hpp
-:249-278, :283-310): S lanes, u32 state, 8-bit renormalization, each lane
-owning its own byte substream so per-lane reads never serialize.  See
-docs/FORMAT.md section 2 for the wire format.
+:249-278, :283-310): S lanes, u32 state, 8-bit renormalization.
 
-Layout: symbol at position p = t*S + lane is handled by `lane` at step t.
-Arrays are staged (T, S) so `lax.scan` consumes the step axis.
+Lockstep stream discipline (docs/FORMAT.md section 2): at decode step t,
+every valid lane's byte requirement is computable BEFORE any byte is
+read — the renorm count depends only on the post-update state because
+L = 2^23 is a power of two (st needs a j-th byte iff st < L >> 8(j-1),
+independent of byte values), and the exception count comes from the
+decode table.  Bytes are laid out in six per-step ROUNDS:
 
-Encode is reverse-order with on-device count-then-place compaction:
-the scan records each step's <=6 emitted bytes (<=3 exception + <=3
-renorm) into fixed slots, then a cumulative-sum pass computes every
-byte's final position (lane streams are written in decode order, i.e.
-reverse emission order) and a single scatter materializes the packed
-payload with all lane substreams concatenated.
+    [renorm round 0: the first renorm byte of every lane with rc >= 1,
+     lanes ascending] [renorm round 1: rc >= 2] [renorm round 2]
+    [exception rounds 0..2 likewise, nb >= j+1], steps ascending.
+
+Within a round, a lane's byte sits at rank(lane) = exclusive prefix sum
+of the round's mask — so every stream access is a gather from a window
+of <= S bytes past the shared cursor.  That bounded window is exactly
+what the Pallas TPU kernel needs (Mosaic supports only small
+shuffle-based vector gathers), and the shared stream eliminates
+per-lane directories entirely (overhead = 4S state bytes total).
+
+Layout: symbol at position p = t*S + lane is handled by `lane` at step
+t.  Arrays are staged (T, S) so `lax.scan` consumes the step axis.
+
+Encode is reverse-order with on-device count-then-place compaction: the
+scan records each step's <=6 emitted bytes (<=3 exception + <=3 renorm)
+into fixed slots plus their counts; cumulative sums over steps and lanes
+compute every byte's final position, and one scatter materializes the
+packed stream.
 """
 
 from __future__ import annotations
@@ -52,7 +67,7 @@ def stage(arr: np.ndarray, S: int, T: int, fill=0) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
-    """Encode staged symbols into packed lane substreams.
+    """Encode staged symbols into one lockstep shared stream.
 
     mapped: (T, S) u32 mapped symbol ids (pad = 0)
     nb:     (T, S) u32 exception-byte counts (pad = 0)
@@ -60,9 +75,10 @@ def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
     n:      scalar i32 actual element count (dynamic)
     freq/base/ub: (sigma,) u32 encoder table (tables.build_enc_table)
 
-    Returns (payload u8 (S*T*6,), lane_len i32 (S,), final_states u32 (S,)).
-    Lane substreams are packed back-to-back at exclusive-cumsum(lane_len)
-    offsets, already in decode order.
+    Returns (stream u8 (S*T*6,), total i32, final_states u32 (S,),
+    step_base i32 (T,)): the valid stream is the prefix of length
+    `total`, and step_base[t] is the byte offset where step t's bytes
+    begin — the section-cut table for VMEM-streamed decoding.
     """
     lanes = jnp.arange(S, dtype=jnp.int32)
 
@@ -92,8 +108,8 @@ def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
         new_state = (q << jnp.uint32(log2m)) + r + b
         st = jnp.where(valid, new_state, state)
         rc = sum(m.astype(jnp.int32) for m in rmask)
-        counts = jnp.where(valid, nb_v + rc, 0)
-        out = (counts.astype(jnp.int32), nb_v,
+        out = (jnp.where(valid, nb_v + rc, 0).astype(jnp.int32),  # counts
+               rc, nb_v,
                jnp.stack(rbytes, axis=-1),          # (S, 3)
                jnp.stack(rmask, axis=-1),           # (S, 3) bool
                excb_t)                              # (S, 3)
@@ -102,35 +118,46 @@ def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
     ts = jnp.arange(T, dtype=jnp.int32)
     init = jnp.full((S,), A_L, dtype=U32)
     # encode walks positions backwards: scan steps T-1 .. 0
-    states, (counts, nb_all, rbytes, rmask, excb_all) = jax.lax.scan(
+    states, (counts, rc, nb_all, rbytes, rmask, excb_all) = jax.lax.scan(
         step, init, (ts, mapped, nb, excb), reverse=True)
 
-    # ---- count-then-place compaction ------------------------------------
-    # Decode reads lane streams forward, step 0 first; within a step it
-    # reads the step's bytes in reverse emission order.  So emission byte i
-    # of step t in lane l lands at
-    #   global_start[l] + cum[t, l] - 1 - i
-    # with cum the forward inclusive cumsum of per-step byte counts.
-    cum = jnp.cumsum(counts, axis=0)                        # (T, S)
-    lane_len = cum[-1] if T else jnp.zeros((S,), jnp.int32)
-    gstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(lane_len)[:-1]])
-    pos1 = gstart[None, :] + cum - 1                        # position of i=0
-    total = S * T * 6
-    payload = jnp.zeros((total,), dtype=U8)
-    # exception byte slots j (emission index j, active when j < nb)
-    for j in range(3):
-        m = j < nb_all
-        idx = jnp.where(m, pos1 - j, total)
-        payload = payload.at[idx.reshape(-1)].set(
-            excb_all[..., j].reshape(-1), mode="drop")
-    # renorm byte slots i (emission index nb + i)
+    # ---- count-then-place compaction (lockstep per-round layout) ---------
+    # Round masks per step: renorm round j <=> rc > j (renorm needs are a
+    # prefix), exception round j <=> nb > j.  The stream position of a
+    # lane's byte in round r of step t is
+    #   round_base[t, r] + rank[t, r, lane]
+    # with rank = exclusive cumsum of the round mask over lanes and
+    # round_base = running total over all earlier (step, round) pairs.
+    rmask_i = rmask.astype(jnp.int32)                       # (T, S, 3)
+    emask_i = (jnp.arange(3)[None, None, :]
+               < nb_all[..., None]).astype(jnp.int32)       # (T, S, 3)
+    all_masks = jnp.concatenate([rmask_i, emask_i], axis=-1)  # (T, S, 6)
+    rank = jnp.cumsum(all_masks, axis=1) - all_masks        # (T, S, 6)
+    round_tot = all_masks.sum(axis=1)                       # (T, 6)
+    flat_tot = round_tot.reshape(-1)                        # (T*6,)
+    round_base = (jnp.cumsum(flat_tot) - flat_tot).reshape(T, 6)
+    total = round_tot.sum()
+    TOT = S * T * 6
+    stream = jnp.zeros((TOT,), dtype=U8)
+    base_b = jnp.broadcast_to(round_base[:, None, :], (T, S, 6))
+
+    def place(slot_mask, rnd, byte):
+        """Scatter emission bytes into their (step, round, rank) slots."""
+        rnd = jnp.clip(rnd, 0, 5)[..., None]
+        pos = (jnp.take_along_axis(base_b, rnd, axis=2)
+               + jnp.take_along_axis(rank, rnd, axis=2))[..., 0]
+        idx = jnp.where(slot_mask, pos, TOT)
+        return stream.at[idx.reshape(-1)].set(byte.reshape(-1),
+                                              mode="drop")
+
+    # decode reads renorm bytes high-first: emission slot i (i-th lowest
+    # byte) is read in renorm round rc-1-i
     for i in range(3):
-        m = rmask[..., i]
-        idx = jnp.where(m, pos1 - (nb_all + i), total)
-        payload = payload.at[idx.reshape(-1)].set(
-            rbytes[..., i].reshape(-1), mode="drop")
-    return payload, lane_len, states
+        stream = place(rmask[..., i], rc - 1 - i, rbytes[..., i])
+    # exception bytes likewise: emission slot i read in exc round nb-1-i
+    for i in range(3):
+        stream = place(i < nb_all, 3 + nb_all - 1 - i, excb_all[..., i])
+    return stream, total, states, round_base[:, 0]
 
 
 encode_lanes = jax.jit(encode_lanes_impl,
@@ -141,14 +168,13 @@ encode_lanes = jax.jit(encode_lanes_impl,
 # decode
 # --------------------------------------------------------------------------
 
-def decode_lanes_impl(stream, lane_start, init_states, dfreq, doffset, dsym,
+def decode_lanes_impl(stream, init_states, dfreq, doffset, dsym,
                       dhigh, dnb, n, *, S, T, log2m, has_exc):
-    """Decode T steps of S lanes from packed substreams.
+    """Decode T steps of S lockstep lanes from the shared stream.
 
-    stream:     (B,) u8 all lane payloads concatenated (+ >=8 pad bytes)
-    lane_start: (S,) i32 start offset of each lane's substream
-    init_states:(S,) u32 final encoder states
-    dfreq/doffset/dsym[/dhigh/dnb]: (M,) u32 decode table (build_dec_table)
+    stream:      (B,) u8 shared stream (+ >= 8 pad bytes)
+    init_states: (S,) u32 final encoder states
+    dfreq/doffset/dsym[/dhigh/dnb]: (M,) u32 decode table
     n: scalar i32 element count
 
     Returns (T, S) u32 values; flatten()[: n] is the output sequence.
@@ -158,34 +184,47 @@ def decode_lanes_impl(stream, lane_start, init_states, dfreq, doffset, dsym,
     L = jnp.uint32(A_L)
 
     def step(carry, t):
-        state, cur = carry
+        state, cursor = carry
         valid = (t * S + lanes) < n
         slot = (state & mask).astype(jnp.int32)
         f = dfreq[slot]
         off = doffset[slot]
-        st = f * (state >> jnp.uint32(log2m)) + off
-        # refill: read high-first while below L (<= 3 bytes)
-        for _ in range(3):
-            need = valid & (st < L)
-            byte = stream[cur].astype(U32)
-            st = jnp.where(need, (st << jnp.uint32(8)) | byte, st)
-            cur = cur + need.astype(jnp.int32)
-        st = jnp.where(valid, st, state)
+        st0 = f * (state >> jnp.uint32(log2m)) + off
+        st0 = jnp.where(valid, st0, state)
+        # byte requirements are known before any read (L is 2^23):
+        rc = ((st0 < L).astype(jnp.int32)
+              + (st0 < (L >> jnp.uint32(8))).astype(jnp.int32)
+              + (st0 < (L >> jnp.uint32(16))).astype(jnp.int32))
+        rc = jnp.where(valid, rc, 0)
         if has_exc:
-            nb = jnp.where(valid, dnb[slot], 0).astype(jnp.int32)
+            k = jnp.where(valid, dnb[slot], 0).astype(jnp.int32)
+        else:
+            k = jnp.zeros_like(rc)
+        # per-round reads: round mask -> rank via prefix sum -> gather
+        st = st0
+        for j in range(3):
+            take = j < rc
+            ti = take.astype(jnp.int32)
+            rank = jnp.cumsum(ti) - ti
+            byte = stream[cursor + rank].astype(U32)
+            st = jnp.where(take, (st << jnp.uint32(8)) | byte, st)
+            cursor = cursor + jnp.sum(ti)
+        if has_exc:
             low = jnp.zeros((S,), U32)
-            for i in range(3):
-                take = i < nb
-                byte = stream[cur].astype(U32)
+            for j in range(3):
+                take = j < k
+                ti = take.astype(jnp.int32)
+                rank = jnp.cumsum(ti) - ti
+                byte = stream[cursor + rank].astype(U32)
                 low = jnp.where(take, (low << jnp.uint32(8)) | byte, low)
-                cur = cur + take.astype(jnp.int32)
+                cursor = cursor + jnp.sum(ti)
             val = dhigh[slot] + low
         else:
             val = dsym[slot]
-        return (st, cur), val
+        return (st, cursor), val
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    (_, _), out = jax.lax.scan(step, (init_states, lane_start), ts)
+    (_, _), out = jax.lax.scan(step, (init_states, jnp.int32(0)), ts)
     return out
 
 

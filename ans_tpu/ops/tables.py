@@ -22,11 +22,20 @@ A_L = 1 << A_KM_LOG2
 
 @dataclass(frozen=True)
 class EncTable:
-    """Per-symbol encode table (index = mapped symbol id)."""
+    """Per-symbol encode table (index = mapped symbol id).
+
+    magic/shift implement exact division by freq via multiply-high
+    (Granlund-Montgomery): q = (x * magic) >> shift is exact for all
+    x < 2^31 with shift = 32 + ceil(log2 d), magic = ceil(2^shift / d)
+    (the error m*d - 2^shift < d <= 2^(shift-32) < 2^(shift-31) bounds
+    x*err below 2^shift).  Replaces the per-symbol u32 divide in the
+    encoder hot loop (reference's state/f at ans_int.hpp:80)."""
 
     freq: np.ndarray  # u32 (sigma,)
     base: np.ndarray  # u32 (sigma,) cumulative freq
     ub: np.ndarray  # u32 (sigma,) renorm threshold 256*(L/M)*freq
+    magic: np.ndarray  # u64 (sigma,)
+    shift: np.ndarray  # u32 (sigma,)
     frame_size: int
     log2m: int
 
@@ -63,8 +72,15 @@ def build_enc_table(nfreqs: np.ndarray) -> EncTable:
     # 256 * (L/M) * freq; L/M = 2**(A_KM_LOG2 - log2m) is an exact integer
     k256 = np.uint64(1) << np.uint64(A_KM_LOG2 - log2m + 8)
     ub = (k256 * nf).astype(np.uint32)  # <= 2**31 * f / M <= 2**31, fits
+    d = np.maximum(nf, 1)
+    ceil_log2 = np.frompyfunc(lambda x: max(1, int(x - 1).bit_length()),
+                              1, 1)(d.astype(object))
+    shift = (32 + ceil_log2.astype(np.int64)).astype(np.uint32)
+    magic = np.array(
+        [-((-1 << int(s)) // int(dd)) for s, dd in
+         zip(shift.tolist(), d.tolist())], dtype=np.uint64)
     return EncTable(freq=nf.astype(np.uint32), base=base, ub=ub,
-                    frame_size=M, log2m=log2m)
+                    magic=magic, shift=shift, frame_size=M, log2m=log2m)
 
 
 def build_dec_table(nfreqs: np.ndarray,

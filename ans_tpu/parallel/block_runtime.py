@@ -115,25 +115,24 @@ class BlockCodec:
         axis = self.axis
 
         def body(mapped, k, b, n_sec, freq, base, ub):
-            payload, lane_len, states = lane_codec.encode_lanes_impl(
+            stream, total, states, step_base = lane_codec.encode_lanes_impl(
                 mapped[0], k[0], b[0], n_sec[0], freq, base, ub,
                 S=S, T=T, log2m=log2m)
-            return payload[None], lane_len[None], states[None]
+            return stream[None], total[None], states[None], step_base[None]
 
         return self._cached(("enc", S, T, log2m), lambda: jax.jit(
             _shard_map.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(axis), P(axis),
                           P(), P(), P()),
-                out_specs=(P(axis), P(axis), P(axis)))))
+                out_specs=(P(axis), P(axis), P(axis), P(axis)))))
 
     def _decode_program(self, S, T, log2m, has_exc):
         axis = self.axis
 
-        def body(stream, lane_start, states, n_sec, dfreq, doff, dsym,
-                 dhigh, dnb):
+        def body(stream, states, n_sec, dfreq, doff, dsym, dhigh, dnb):
             out = lane_codec.decode_lanes_impl(
-                stream[0], lane_start[0], states[0], dfreq, doff, dsym,
+                stream[0], states[0], dfreq, doff, dsym,
                 dhigh, dnb, n_sec[0], S=S, T=T, log2m=log2m,
                 has_exc=has_exc)
             return out[None]
@@ -141,7 +140,7 @@ class BlockCodec:
         return self._cached(("dec", S, T, log2m, has_exc), lambda: jax.jit(
             _shard_map.shard_map(
                 body, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis),
+                in_specs=(P(axis), P(axis), P(axis),
                           P(), P(), P(), P(), P()),
                 out_specs=P(axis))))
 
@@ -175,20 +174,24 @@ class BlockCodec:
         mapped_ts = jnp.pad(mapped, ((0, 0), (0, pad))).reshape(D, T, S)
         k_ts = jnp.pad(k, ((0, 0), (0, pad))).reshape(D, T, S)
         b_ts = jnp.pad(b, ((0, 0), (0, pad), (0, 0))).reshape(D, T, S, 3)
-        payload, lane_len, states = self._encode_program(S, T, et.log2m)(
+        stream, totals, states, step_base = self._encode_program(
+            S, T, et.log2m)(
             mapped_ts, k_ts, b_ts, jnp.asarray(n_sec),
             jnp.asarray(et.freq), jnp.asarray(et.base), jnp.asarray(et.ub))
-        lane_len = np.asarray(lane_len)
+        totals = np.asarray(totals)
         states = np.asarray(states)
+        step_base = np.asarray(step_base)
 
         out = bytearray()
         out += struct.pack("<IBBBBII", MAGIC, 1, KINDS[self.kind],
                            self.fidelity, 0, n, D)
         out += struct.pack("<I", len(prelude)) + prelude
         for d in range(D):
-            total = int(lane_len[d].sum())
-            sec = framing.pack(lane_len[d], states[d],
-                               np.asarray(payload[d, :total]))
+            t_sec, sec_len = framing.choose_sections(
+                step_base[d], int(totals[d]), T)
+            sec = framing.pack(states[d],
+                               np.asarray(stream[d, : int(totals[d])]),
+                               t_sec, sec_len)
             out += struct.pack("<I", len(sec)) + sec
         return bytes(out)
 
@@ -227,17 +230,15 @@ class BlockCodec:
             pos += slen
         S = secs[0][0]
         T = lane_codec.lane_steps(B, S)
-        maxp = max(len(s[3]) for s in secs) + 8
+        maxp = max(len(s[2]) for s in secs) + 8
         stream = np.zeros((D, maxp), dtype=np.uint8)
-        lane_start = np.zeros((D, S), dtype=np.int32)
         states = np.zeros((D, S), dtype=np.uint32)
-        for d, (_, ll, st, pay) in enumerate(secs):
+        for d, (_, st, pay, _t_sec, _sec_len) in enumerate(secs):
             stream[d, :len(pay)] = pay
-            lane_start[d] = np.concatenate(([0], np.cumsum(ll)[:-1]))
             states[d] = st
         dummy = np.zeros(1, np.uint32)
         out = self._decode_program(S, T, dt.log2m, has_exc)(
-            jnp.asarray(stream), jnp.asarray(lane_start),
+            jnp.asarray(stream),
             jnp.asarray(states), jnp.asarray(n_sec),
             jnp.asarray(dt.freq), jnp.asarray(dt.offset),
             jnp.asarray(dt.sym),

@@ -1,0 +1,113 @@
+"""Primitive-layer property tests.
+
+Ports of the reference's unbuilt test harnesses (SURVEY.md section 4):
+  * src/test.cpp:49-72 — fold mapping inverse property (vectorized
+    random + boundary sweep instead of the 2^32 exhaustive loop)
+  * src/interp_test.cpp:134-253 — clustered-sequence round-trip of the
+    recursive interpolative coder
+plus vbyte and BWT/MTF primitives.
+"""
+
+import numpy as np
+import pytest
+
+from ans_tpu.reference_model import interp, mappings, vbyte
+from ans_tpu.utils import bwt
+
+
+@pytest.mark.parametrize("fidelity", list(range(1, 9)))
+def test_fold_inverse_property(fidelity):
+    """undo(fold(x)) == x with the dropped bytes restored
+    (reference src/test.cpp checks all 2^32; we sweep boundaries +
+    a large random sample)."""
+    rng = np.random.default_rng(fidelity)
+    thres = 1 << (fidelity + 7)
+    edges = []
+    for p in [0, 1, thres - 1, thres, thres + 1, (1 << 16) - 1, 1 << 16,
+              (1 << 24) - 1, 1 << 24, (1 << 32) - 1, (1 << 30),
+              (1 << 30) - 1]:
+        edges.append(p)
+    x = np.concatenate([
+        np.array(edges, dtype=np.uint32),
+        rng.integers(0, 1 << 32, size=2_000_000, dtype=np.uint32),
+    ])
+    sym = mappings.fold_map(x, fidelity)
+    k, b = mappings.fold_exceptions(x, fidelity)
+    high, nb = mappings.fold_unmap_high(sym, fidelity)
+    np.testing.assert_array_equal(k, nb)
+    # reassemble: high + little-endian low bytes
+    low = np.zeros(len(x), dtype=np.uint64)
+    for j in range(3):
+        low += np.where(j < k, b[:, j].astype(np.uint64) << (8 * j), 0)
+    np.testing.assert_array_equal(
+        (high.astype(np.uint64) + low).astype(np.uint32), x)
+
+
+def test_msb_inverse_property():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        np.array([0, 1, 255, 256, 257, (1 << 16) - 1, 1 << 16,
+                  (1 << 16) + 1, (1 << 24) - 1, 1 << 24, (1 << 24) + 1,
+                  (1 << 32) - 1], dtype=np.uint32),
+        rng.integers(0, 1 << 32, size=2_000_000, dtype=np.uint32),
+    ])
+    sym = mappings.msb_map(x)
+    k = mappings.msb_exception_bytes(sym)
+    high = mappings.msb_unmap_high(sym)
+    low = np.zeros(len(x), dtype=np.uint64)
+    for j in range(3):
+        low += np.where(j < k, ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
+                        .astype(np.uint64) << (8 * j), 0)
+    np.testing.assert_array_equal(
+        (high.astype(np.uint64) + low).astype(np.uint32), x)
+
+
+def _clustered(rng, n, u):
+    """Clustered docid-like increasing sequence
+    (reference src/interp_test.cpp:134-166: geometric gaps with rare
+    large jumps)."""
+    gaps = rng.geometric(0.3, size=n).astype(np.int64)
+    jumps = rng.random(n) < 0.001
+    gaps[jumps] += rng.integers(100, 10000, size=int(jumps.sum()))
+    seq = np.cumsum(gaps)
+    return (seq * (u - 1) // max(1, int(seq[-1]))).astype(np.uint64)
+
+
+def test_interp_clustered_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 100_000
+    u = 1 << 27
+    seq = np.unique(_clustered(rng, n, u))
+    blob = interp.encode(seq, len(seq), u)
+    out, _ = interp.decode(blob + b"\0" * 8, len(seq), u)
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.uint64), seq)
+
+
+def test_interp_dense_roundtrip():
+    seq = np.arange(1000, dtype=np.uint64) * 3
+    blob = interp.encode(seq, len(seq), 3000)
+    out, _ = interp.decode(blob + b"\0" * 8, len(seq), 3000)
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.uint64), seq)
+
+
+def test_vbyte_scalar_roundtrip():
+    for v in [0, 1, 127, 128, 16383, 16384, (1 << 32) - 1]:
+        blob = vbyte.encode_u32(v)
+        out, pos = vbyte.decode_u32(blob, 0)
+        assert out == v and pos == len(blob)
+
+
+def test_bwt_mtf_roundtrip():
+    rng = np.random.default_rng(1)
+    s = rng.integers(0, 40, size=3000).astype(np.uint32)
+    t, _ = bwt.bwt(s)
+    ranks = bwt.mtf(t, 40)
+    np.testing.assert_array_equal(bwt.mtf_inverse(ranks, 40), t)
+
+
+def test_suffix_array_correct():
+    rng = np.random.default_rng(2)
+    s = rng.integers(0, 4, size=500)
+    sa = bwt.suffix_array(s)
+    naive = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
+    np.testing.assert_array_equal(sa, naive)
