@@ -28,6 +28,11 @@ from . import config, framing
 
 U32 = jnp.uint32
 
+# default frame cap for lane codecs: the Pallas table-lookup cost scales
+# with the frame, so cap at 2^14 (~0.2-0.4% compression give-up vs the
+# uncapped reference search; pass max_frame=None for the exact model)
+DEFAULT_MAX_FRAME = 1 << 14
+
 
 # --------------------------------------------------------------------------
 # shared stream helpers
@@ -81,9 +86,11 @@ class AnsInt:
     """Large-alphabet rANS directly over u32 symbols (reference:
     ans_int.hpp:38-306), S-lane stream."""
 
-    def __init__(self, h_approx: int = 1, lanes: int | None = None):
+    def __init__(self, h_approx: int = 1, lanes: int | None = None,
+                 max_frame: int | None = DEFAULT_MAX_FRAME):
         self.h_approx = h_approx
         self.lanes = lanes
+        self.max_frame = max_frame
         self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
 
     def encode(self, values) -> bytes:
@@ -91,7 +98,8 @@ class AnsInt:
         _require_nonempty(values)
         max_sym = int(values.max())
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
-        nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx)
+        nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
+                              self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(jnp.asarray(values), None, None,
                                 len(values), nfreqs, self.lanes)
@@ -114,9 +122,11 @@ class AnsMsb:
     """Magnitude-bucketed rANS with exception bytes (reference:
     ans_msb.hpp:41-322), S-lane stream."""
 
-    def __init__(self, h_approx: int = 1, lanes: int | None = None):
+    def __init__(self, h_approx: int = 1, lanes: int | None = None,
+                 max_frame: int | None = DEFAULT_MAX_FRAME):
         self.h_approx = h_approx
         self.lanes = lanes
+        self.max_frame = max_frame
         self.name = "ANSmsb" if h_approx == 1 else f"ANSsmsb-{h_approx}"
 
     def encode(self, values) -> bytes:
@@ -126,7 +136,8 @@ class AnsMsb:
                                              length=MSB_MAX_SIGMA)
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
-        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
+                              self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
@@ -153,11 +164,13 @@ class AnsFold:
     ans_fold.hpp:38-311), S-lane stream."""
 
     def __init__(self, fidelity: int, h_approx: int = 1,
-                 lanes: int | None = None):
+                 lanes: int | None = None,
+                 max_frame: int | None = DEFAULT_MAX_FRAME):
         assert 1 <= fidelity <= 8
         self.fidelity = fidelity
         self.h_approx = h_approx
         self.lanes = lanes
+        self.max_frame = max_frame
         self.name = f"ANSfold-{fidelity}"
 
     def encode(self, values) -> bytes:
@@ -168,7 +181,8 @@ class AnsFold:
             jnp.asarray(values), fidelity=self.fidelity, length=sigma_cap)
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
-        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
+                              self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
@@ -188,10 +202,12 @@ class AnsReorderFold:
     raw most_frequent[] table mirror the compat header."""
 
     def __init__(self, fidelity: int, h_approx: int = 1,
-                 lanes: int | None = None):
+                 lanes: int | None = None,
+                 max_frame: int | None = DEFAULT_MAX_FRAME):
         self.fidelity = fidelity
         self.h_approx = h_approx
         self.lanes = lanes
+        self.max_frame = max_frame
         self.name = f"ANSrfold-{fidelity}"
 
     def encode(self, values) -> bytes:
@@ -221,7 +237,8 @@ class AnsReorderFold:
                                               length=sigma_cap)
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
-        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx)
+        nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
+                              self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)

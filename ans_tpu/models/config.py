@@ -10,13 +10,14 @@ def next_pow2(x: int) -> int:
 
 
 def default_lane_count(n: int, min_lanes: int = 32,
-                       max_lanes: int = 8192) -> int:
+                       max_lanes: int = 2048) -> int:
     """Lanes S for an n-element block.
 
-    Each lane costs 8 bytes of directory + flush (u32 length + u32 state),
-    so S ~ n/12800 keeps the overhead near 0.005 bits/int while still
-    exposing thousands of parallel states at benchmark sizes (n >= 10M).
-    Power of two, clamped to [min_lanes, max_lanes].
+    Each lane costs 4 bytes of flushed state, so S ~ n/12800 keeps the
+    overhead small while exposing thousands of parallel states.  The cap
+    is 2048: the Pallas decode sweep showed S in {1024, 2048} fastest on
+    TPU v5e (larger S grows VMEM pressure and per-step vector width
+    without throughput gain).  Power of two, clamped.
     """
     if n <= 0:
         return min_lanes

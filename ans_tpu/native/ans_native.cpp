@@ -1,0 +1,198 @@
+// Native host backend: exact model math + compat-format rANS engine.
+//
+// C++ re-implementation of the hot host-side paths of the golden model
+// (ans_tpu/reference_model), NOT a copy of the reference C++ — the
+// semantics are specified by model.py / rans_compat.py, which in turn
+// document their reference provenance (include/ans_util.hpp,
+// include/ans_int.hpp stream discipline).  Floating-point evaluation
+// order matches model.py exactly so frames — and therefore bytes — are
+// identical across the Python and native paths.
+//
+// Build: python -m ans_tpu.native.build   (g++ -O3 -shared -fPIC)
+// ABI: plain C functions over raw pointers; ctypes binding in binding.py.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------- model ---
+
+double ans_entropy_ordered(const uint64_t* freqs, int64_t n,
+                           uint64_t freq_sum) {
+    double h = 0.0;
+    double dn = (double)freq_sum;
+    for (int64_t i = 0; i < n; i++) {
+        if (freqs[i]) {
+            double p = (double)freqs[i] / dn;
+            h += p * std::log2(p);
+        }
+    }
+    return -h;
+}
+
+double ans_cross_entropy_ordered(const uint64_t* P, int64_t np_,
+                                 const uint32_t* Q, int64_t nq) {
+    double n = 0.0, m = 0.0;
+    {
+        uint64_t ns = 0, ms = 0;
+        for (int64_t i = 0; i < np_; i++) ns += P[i];
+        for (int64_t i = 0; i < nq; i++) ms += Q[i];
+        n = (double)ns;
+        m = (double)ms;
+    }
+    int64_t k = np_ < nq ? np_ : nq;
+    double h = 0.0;
+    for (int64_t i = 0; i < k; i++) {
+        if (P[i] != 0 && Q[i] != 0)
+            h += ((double)P[i] / n) * std::log2((double)Q[i] / m);
+    }
+    return -h;
+}
+
+// One proportional rescale pass; returns 1 when M underflows (retry
+// with a larger frame).  Mutates S.  (model.py scale_freqs semantics.)
+int32_t ans_scale_freqs(uint32_t* S, const uint64_t* F,
+                        const int64_t* mapping, int64_t M, int64_t sigma,
+                        int64_t freq_sum) {
+    for (int64_t cur = 0; cur < sigma; cur++) {
+        int64_t msym = mapping[cur];
+        int64_t f = (int64_t)F[msym];
+        double aratio = (double)M / (double)freq_sum;
+        uint32_t s = (uint32_t)(0.5 + aratio * (double)f);
+        if (s == 0) s = 1;
+        S[msym] = s;
+        M -= s;
+        freq_sum -= f;
+        if (M < 0) break;
+    }
+    return M != 0;
+}
+
+// ------------------------------------------------- compat rANS streams ---
+// 4 interleaved u64 states, shared byte stream, reverse-order encode
+// (spec: rans_compat.py interleaved_encode/decode).
+
+static const int NUM_STATES = 4;
+
+int64_t ans_compat_encode(const uint32_t* mapped, int64_t n,
+                          const uint8_t* exc_counts,   // may be null
+                          const uint8_t* exc_bytes,    // (n,3) or null
+                          const uint32_t* freq, const uint32_t* base,
+                          int64_t M, uint8_t* out, int64_t cap) {
+    uint64_t L = 16ull * (uint64_t)M;
+    uint64_t states[NUM_STATES] = {L, L, L, L};
+    int64_t r = n % NUM_STATES;
+    int64_t pos = 0;
+    for (int64_t j = 0; j < n; j++) {
+        int64_t p = n - 1 - j;
+        int sidx = (j < r) ? 0 : (int)((j - r) % NUM_STATES);
+        if (exc_counts) {
+            int k = exc_counts[p];
+            for (int i = 0; i < k; i++) out[pos++] = exc_bytes[p * 3 + i];
+        }
+        uint32_t s = mapped[p];
+        uint64_t f = freq[s];
+        uint64_t st = states[sidx];
+        uint64_t sub = (16ull << 32) * f;
+        if (st >= sub) {
+            out[pos] = (uint8_t)st;
+            out[pos + 1] = (uint8_t)(st >> 8);
+            out[pos + 2] = (uint8_t)(st >> 16);
+            out[pos + 3] = (uint8_t)(st >> 24);
+            pos += 4;
+            st >>= 32;
+        }
+        states[sidx] = (st / f) * (uint64_t)M + (st % f) + base[s];
+        if (pos + 64 > cap) return -1;
+    }
+    for (int i = 0; i < NUM_STATES; i++) {
+        uint64_t v = states[i] - L;
+        for (int b = 0; b < 8; b++) out[pos++] = (uint8_t)(v >> (8 * b));
+    }
+    return pos;
+}
+
+// Decode n symbols; slot tables are (M,) arrays.  high/nb may be null
+// (identity coders).  Returns bytes consumed from the END of buf
+// (diagnostic), or -1 on underrun.
+int64_t ans_compat_decode(const uint8_t* buf, int64_t len, int64_t n,
+                          const uint32_t* freq_slot,
+                          const uint32_t* offset_slot,
+                          const uint32_t* sym_slot, int64_t M,
+                          const uint32_t* high, const uint8_t* nb,
+                          uint32_t* out) {
+    uint64_t L = 16ull * (uint64_t)M;
+    uint64_t mask = (uint64_t)M - 1;
+    int log2m = 0;
+    while ((1ll << log2m) < M) log2m++;
+    int64_t cur = len;
+    uint64_t states[NUM_STATES];
+    for (int i = 0; i < NUM_STATES; i++) {
+        cur -= 8;
+        if (cur < 0) return -1;
+        uint64_t v = 0;
+        for (int b = 7; b >= 0; b--) v = (v << 8) | buf[cur + b];
+        states[i] = v + L;
+    }
+    int64_t fast = n - (n % NUM_STATES);
+    for (int64_t i = 0; i < n; i++) {
+        int sidx = (i < fast) ? (int)(i % NUM_STATES) : NUM_STATES - 1;
+        uint64_t st = states[sidx];
+        uint64_t slot = st & mask;
+        st = (uint64_t)freq_slot[slot] * (st >> log2m) + offset_slot[slot];
+        if (st < L) {
+            cur -= 4;
+            if (cur < 0) return -1;
+            uint32_t w = (uint32_t)buf[cur] | ((uint32_t)buf[cur + 1] << 8)
+                | ((uint32_t)buf[cur + 2] << 16)
+                | ((uint32_t)buf[cur + 3] << 24);
+            st = (st << 32) | w;
+        }
+        states[sidx] = st;
+        uint32_t sym = sym_slot[slot];
+        if (high) {
+            int k = nb[slot];
+            uint32_t low = 0;
+            if (k) {
+                cur -= k;
+                if (cur < 0) return -1;
+                for (int b = k - 1; b >= 0; b--)
+                    low = (low << 8) | buf[cur + b];
+            }
+            out[i] = high[slot] + low;
+        } else {
+            out[i] = sym;
+        }
+    }
+    return len - cur;
+}
+
+// ------------------------------------------------------------------ mtf ---
+
+void ans_mtf(const uint32_t* seq, int64_t n, int64_t sigma,
+             uint32_t* out) {
+    // table[i] = symbol at rank i; pos[sym] = rank
+    uint32_t* table = new uint32_t[sigma];
+    uint32_t* posa = new uint32_t[sigma];
+    for (int64_t i = 0; i < sigma; i++) {
+        table[i] = (uint32_t)i;
+        posa[i] = (uint32_t)i;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = seq[i];
+        uint32_t r = posa[v];
+        out[i] = r;
+        for (uint32_t j = r; j > 0; j--) {
+            table[j] = table[j - 1];
+            posa[table[j]] = j;
+        }
+        table[0] = v;
+        posa[v] = 0;
+    }
+    delete[] table;
+    delete[] posa;
+}
+
+}  // extern "C"

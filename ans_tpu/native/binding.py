@@ -1,0 +1,101 @@
+"""ctypes binding for the native backend (libansnative.so)."""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "libansnative.so")
+
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+
+
+class NativeLib:
+    """Thin typed wrapper; model.py/rans_compat.py call these."""
+
+    def __init__(self, cdll: ct.CDLL):
+        self._c = cdll
+        c = cdll
+        c.ans_entropy_ordered.restype = ct.c_double
+        c.ans_entropy_ordered.argtypes = [_u64p, ct.c_int64, ct.c_uint64]
+        c.ans_cross_entropy_ordered.restype = ct.c_double
+        c.ans_cross_entropy_ordered.argtypes = [_u64p, ct.c_int64, _u32p,
+                                                ct.c_int64]
+        c.ans_scale_freqs.restype = ct.c_int32
+        c.ans_scale_freqs.argtypes = [_u32p, _u64p, _i64p, ct.c_int64,
+                                      ct.c_int64, ct.c_int64]
+        c.ans_compat_encode.restype = ct.c_int64
+        c.ans_compat_encode.argtypes = [_u32p, ct.c_int64, ct.c_void_p,
+                                        ct.c_void_p, _u32p, _u32p,
+                                        ct.c_int64, _u8p, ct.c_int64]
+        c.ans_compat_decode.restype = ct.c_int64
+        c.ans_compat_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64,
+                                        _u32p, _u32p, _u32p, ct.c_int64,
+                                        ct.c_void_p, ct.c_void_p, _u32p]
+        c.ans_mtf.restype = None
+        c.ans_mtf.argtypes = [_u32p, ct.c_int64, ct.c_int64, _u32p]
+
+    @classmethod
+    def try_load(cls):
+        if not os.path.exists(_LIB_PATH):
+            return None
+        return cls(ct.CDLL(_LIB_PATH))
+
+    # ---- model math ------------------------------------------------------
+
+    def entropy_ordered(self, freqs: np.ndarray, freq_sum: int) -> float:
+        return self._c.ans_entropy_ordered(freqs, len(freqs), freq_sum)
+
+    def cross_entropy_ordered(self, P: np.ndarray, Q: np.ndarray) -> float:
+        return self._c.ans_cross_entropy_ordered(P, len(P), Q, len(Q))
+
+    def scale_freqs(self, S, F, mapping, M, sigma, freq_sum) -> bool:
+        return bool(self._c.ans_scale_freqs(
+            np.ascontiguousarray(S, np.uint32), F, mapping, M, sigma,
+            freq_sum))
+
+    # ---- compat streams --------------------------------------------------
+
+    def compat_encode(self, mapped, exc_counts, exc_bytes, freq, base,
+                      M: int) -> bytes:
+        n = len(mapped)
+        cap = 8 * n + 4096
+        out = np.empty(cap, np.uint8)
+        ec = (exc_counts.ctypes.data if exc_counts is not None else None)
+        eb = (exc_bytes.ctypes.data if exc_bytes is not None else None)
+        size = self._c.ans_compat_encode(
+            np.ascontiguousarray(mapped, np.uint32), n, ec, eb,
+            np.ascontiguousarray(freq, np.uint32),
+            np.ascontiguousarray(base, np.uint32), M, out, cap)
+        if size < 0:
+            raise RuntimeError("native compat encode overflow")
+        return out[:size].tobytes()
+
+    def compat_decode(self, buf: bytes, n: int, freq_slot, offset_slot,
+                      sym_slot, M: int, high=None, nb=None) -> np.ndarray:
+        out = np.empty(n, np.uint32)
+        arr = np.frombuffer(buf, np.uint8)
+        hp = high.ctypes.data if high is not None else None
+        np_ = nb.ctypes.data if nb is not None else None
+        rc = self._c.ans_compat_decode(
+            arr, len(arr), n,
+            np.ascontiguousarray(freq_slot, np.uint32),
+            np.ascontiguousarray(offset_slot, np.uint32),
+            np.ascontiguousarray(sym_slot, np.uint32), M, hp, np_, out)
+        if rc < 0:
+            raise ValueError("corrupt compat stream (underrun)")
+        return out
+
+    # ---- transforms ------------------------------------------------------
+
+    def mtf(self, seq: np.ndarray, sigma: int) -> np.ndarray:
+        out = np.empty(len(seq), np.uint32)
+        self._c.ans_mtf(np.ascontiguousarray(seq, np.uint32), len(seq),
+                        sigma, out)
+        return out

@@ -1,8 +1,8 @@
 """Pallas TPU decode kernel for the lockstep S-lane rANS format (fmt 2).
 
 The XLA scan engine (lane_codec.decode_lanes) round-trips lane state
-through HBM every step; this kernel keeps all S states, the shared
-cursor, the decode table and the whole stream resident in VMEM for the
+through HBM every step; this kernel keeps all S states, the cursor, the
+decode table and the current stream section resident in VMEM for the
 full T-step loop — the TPU-native equivalent of the reference's
 register-resident 4-state loop (reference: ans_fold.hpp:283-310), scaled
 to S lanes on the VPU.
@@ -10,21 +10,24 @@ to S lanes on the VPU.
 Mosaic's vector gather support is limited to lane-dim shuffles
 (`take_along_axis` axis=1, indices < 128), so every random access is
 decomposed as hi/lo = idx >> 7 / idx & 127 and materialized as one lane
-shuffle per 128-entry table row plus a select — the format was designed
-so all such accesses are small:
+shuffle + masked term per 128-entry row, combined by a balanced OR tree
+— the format was designed so all such accesses are small:
 
-  * decode-table lookups: 3 per step (freq<<16|offset, high-or-sym, nb),
-    each M/128 shuffle+select pairs;
-  * stream reads: 6 per-round gathers from a <= (512 + S)-byte window
-    past the shared cursor (lockstep rounds bound the range), each
-    WR = ceil((512+S)/512)+1 shuffle+select pairs over u32 words.
+  * decode-table lookups: 2 per step (freq<<16|offset and the packed
+    high/nb word), each M/128 rows;
+  * stream reads: ONE batched gather per step over all six lockstep
+    rounds from a <= (512 + 6S)-byte window past the cursor.
 
-Per-lane byte ranks come from an inclusive prefix sum over all S lanes
-(Hillis-Steele with pltpu.roll along lanes, then across sublane rows).
+Scalar-unit traffic is minimized — measurement showed per-step scalar
+round-trips (SMEM cursor, vector->scalar extractions) dominating the
+skeleton cost — so the cursor lives in vector form, all six round masks
+are computed before any byte is read (the format guarantees this is
+possible), their ranks come from one batched (6R, 128) prefix sum, and
+the only scalar extraction per step is the window slice row.
 
 All arithmetic runs in i32; fmt 2 invariants keep every value below
-2^31 (state in [2^23, 2^31), window offsets < 512 + S), so signed
-compares and shifts are exact.  Final values are bitcast to u32.
+2^31, so signed compares and shifts are exact.  Final values are
+bitcast to u32.
 """
 
 from __future__ import annotations
@@ -40,46 +43,57 @@ from jax.experimental.pallas import tpu as pltpu
 from .tables import A_L
 
 
-def _prefix(x, R):
-    """Inclusive->exclusive prefix sum of (R,128) i32 over all S=R*128
-    positions in lane-major order; returns (exclusive (R,128), total)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    inc = x
+def _lookup(rows, idx, Mr, B):
+    """rows: (Mr, 128) i32 table; idx: (B, 128) i32 in [0, Mr*128).
+    One lane shuffle + mask per row, combined by a balanced OR tree
+    (log depth, so the row loop pipelines)."""
+    lo = idx & 127
+    hi = idx >> 7
+    terms = []
+    for h in range(Mr):
+        row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
+        y = jnp.take_along_axis(row, lo, axis=1)
+        terms.append(jnp.where(hi == h, y, 0))
+    while len(terms) > 1:
+        nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
+        if len(terms) & 1:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _prefix6(m6, R):
+    """Batched exclusive prefix sums of six (R,128) masks stacked as
+    (6R, 128), each in lane-major order within its own channel.
+    Returns (exclusive ranks (6R,128), per-channel totals (6, 128))."""
+    B = 6 * R
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    inc = m6
     for d in (1, 2, 4, 8, 16, 32, 64):
         inc = inc + jnp.where(lane >= d, pltpu.roll(inc, d, axis=1), 0)
-    row_tot = jnp.broadcast_to(inc[:, 127:128], (R, 128))
+    row_tot = jnp.broadcast_to(inc[:, 127:128], (B, 128))
     if R > 1:
-        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+        sub = row % R  # row index within channel
         rinc = row_tot
         d = 1
         while d < R:
-            rinc = rinc + jnp.where(row >= d, pltpu.roll(rinc, d, axis=0),
-                                    0)
+            rinc = rinc + jnp.where(sub >= d,
+                                    pltpu.roll(rinc, d, axis=0), 0)
             d *= 2
         excl_row = rinc - row_tot
-        total = rinc[R - 1, 0]
+        chan_tot = jnp.concatenate(
+            [rinc[c * R + R - 1:c * R + R] for c in range(6)],
+            axis=0)                           # (6, 128), lane-uniform
     else:
         excl_row = jnp.zeros_like(row_tot)
-        total = row_tot[0, 0]
-    return (inc - x) + excl_row, total
-
-
-def _lookup(rows, idx, R, Mr):
-    """rows: (Mr, 128) i32 table; idx: (R,128) i32 in [0, Mr*128).
-    One lane shuffle + select per table row."""
-    lo = idx & 127
-    hi = idx >> 7
-    out = jnp.zeros((R, 128), jnp.int32)
-    for h in range(Mr):
-        row = jnp.broadcast_to(rows[h:h + 1, :], (R, 128))
-        y = jnp.take_along_axis(row, lo, axis=1)
-        out = jnp.where(hi == h, y, out)
-    return out
+        chan_tot = row_tot                    # (6, 128) when R == 1
+    return (inc - m6) + excl_row, chan_tot
 
 
 def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             out_ref, state_scr, cur_scr, *, S, R, TC, T_SEC, Mr, WR,
-            log2m, has_exc, ablate=()):
+            log2m, has_exc, packed23):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
     mask = (1 << log2m) - 1
@@ -91,85 +105,100 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
 
     @pl.when(tc == 0)
     def _new_section():
-        cur_scr[0, 0] = 0          # cursor is relative to the section
+        cur_scr[:] = jnp.zeros((1, 128), jnp.int32)
 
     lane_global = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
                    + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+    n_val = n_ref[0, 0]
     w1 = w1_ref[:]
     w2 = w2_ref[:]
-    w3 = w3_ref[:]
-
-    def read_round(cursor, take, st_or_low):
-        """One lockstep byte round: rank -> window gather -> merge."""
-        ti = take.astype(jnp.int32)
-        if "prefix" in ablate:
-            rank, tot = ti, jnp.int32(1)
-        else:
-            rank, tot = _prefix(ti, R)
-        if "window" in ablate:
-            byte = rank & 0xFF
-        else:
-            row0 = cursor >> 9                   # 512-byte window rows
-            win = stream_ref[0, pl.ds(row0, WR), :]  # (WR,128) i32 words
-            byte_pos = (cursor & 511) + rank
-            q = byte_pos >> 2
-            w = _lookup(win, q, R, WR)
-            byte = (w >> ((byte_pos & 3) * 8)) & 0xFF
-        merged = jnp.where(take, (st_or_low << 8) | byte, st_or_low)
-        return merged, cursor + tot
+    w3 = w3_ref[:] if (has_exc and not packed23) else None
 
     def step(i, carry):
-        state = state_scr[:]
-        cursor = cur_scr[0, 0]
+        state, cursor = carry            # (R,128) i32, (1,128) i32
         t = sec * T_SEC + tc * TC + i
-        valid = (t * S + lane_global) < n_ref[0, 0]
+        valid = (t * S + lane_global) < n_val
         slot = state & mask
-        if "tables" in ablate:
-            word1 = slot | (1 << 16)
-        else:
-            word1 = _lookup(w1, slot, R, Mr)
+        word1 = _lookup(w1, slot, Mr, R)
         f = jax.lax.shift_right_logical(word1, 16)
         off = word1 & 0xFFFF
         st0 = f * jax.lax.shift_right_logical(state, log2m) + off
         st0 = jnp.where(valid, st0, state)
-        rc1 = valid & (st0 < L)
-        rc2 = valid & (st0 < (L >> 8))
-        rc3 = valid & (st0 < (L >> 16))
-        st, cursor = read_round(cursor, rc1, st0)
-        st, cursor = read_round(cursor, rc2, st)
-        st, cursor = read_round(cursor, rc3, st)
+        # all six round masks before any read (format invariant)
+        m0 = (valid & (st0 < L)).astype(jnp.int32)
+        m1 = (valid & (st0 < (L >> 8))).astype(jnp.int32)
+        m2 = (valid & (st0 < (L >> 16))).astype(jnp.int32)
+        w23 = _lookup(w2, slot, Mr, R)
         if has_exc:
-            if "tables" in ablate:
-                nb = jnp.where(valid, slot & 3, 0)
+            if packed23:
+                nb = jnp.where(valid, w23 & 3, 0)
             else:
-                nb = jnp.where(valid, _lookup(w3, slot, R, Mr), 0)
-            low = jnp.zeros((R, 128), jnp.int32)
-            low, cursor = read_round(cursor, nb > 0, low)
-            low, cursor = read_round(cursor, nb > 1, low)
-            low, cursor = read_round(cursor, nb > 2, low)
-            val = (low if "tables" in ablate
-                   else _lookup(w2, slot, R, Mr) + low)
+                nb = jnp.where(valid, _lookup(w3, slot, Mr, R), 0)
+            m3 = (nb > 0).astype(jnp.int32)
+            m4 = (nb > 1).astype(jnp.int32)
+            m5 = (nb > 2).astype(jnp.int32)
         else:
-            val = slot if "tables" in ablate else _lookup(w2, slot, R, Mr)
-        state_scr[:] = st
-        cur_scr[0, 0] = cursor
+            m3 = m4 = m5 = jnp.zeros((R, 128), jnp.int32)
+        m6 = jnp.concatenate([m0, m1, m2, m3, m4, m5], axis=0)
+        rank, chan_tot = _prefix6(m6, R)
+        # round bases: exclusive cumulative totals across the 6 channels
+        base1 = chan_tot[0:1]
+        base2 = base1 + chan_tot[1:2]
+        base3 = base2 + chan_tot[2:3]
+        base4 = base3 + chan_tot[3:4]
+        base5 = base4 + chan_tot[4:5]
+        step_tot = base5 + chan_tot[5:6]                        # (1,128)
+        bases = jnp.concatenate(
+            [jnp.zeros((1, 128), jnp.int32), base1, base2, base3, base4,
+             base5], axis=0)                                    # (6,128)
+        # one window slice per step; the only scalar extraction
+        row0 = cursor[0, 0] >> 9
+        win = stream_ref[0, pl.ds(row0, WR), :]
+        base_in_win = cursor - (row0 << 9)                      # (1,128)
+        byte_pos = (base_in_win + rank
+                    + jnp.repeat(bases, R, axis=0))             # (6R,128)
+        q = byte_pos >> 2
+        w = _lookup(win, q, WR, 6 * R)
+        byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
+        # merge: renorm rounds high-first, then exception bytes
+        st = st0
+        st = jnp.where(m0 > 0, (st << 8) | byte6[0:R], st)
+        st = jnp.where(m1 > 0, (st << 8) | byte6[R:2 * R], st)
+        st = jnp.where(m2 > 0, (st << 8) | byte6[2 * R:3 * R], st)
+        if has_exc:
+            low = jnp.zeros((R, 128), jnp.int32)
+            low = jnp.where(m3 > 0, (low << 8) | byte6[3 * R:4 * R], low)
+            low = jnp.where(m4 > 0, (low << 8) | byte6[4 * R:5 * R], low)
+            low = jnp.where(m5 > 0, (low << 8) | byte6[5 * R:6 * R], low)
+            if packed23:
+                high = jnp.where(
+                    nb == 0, jax.lax.shift_right_logical(w23, 2),
+                    w23 & ~jnp.int32(3))
+            else:
+                high = w23
+            val = high + low
+        else:
+            val = w23
         out_ref[0, pl.ds(i, 1)] = pltpu.bitcast(val, jnp.uint32)[None]
-        return 0
+        return st, cursor + step_tot
 
-    jax.lax.fori_loop(0, TC, step, 0)
+    st, cur = jax.lax.fori_loop(
+        0, TC, step, (state_scr[:], cur_scr[:]))
+    state_scr[:] = st
+    cur_scr[:] = cur
 
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Mr",
                                     "WR", "SWr", "log2m", "has_exc",
-                                    "interpret", "ablate"))
+                                    "packed23", "interpret"))
 def _call(stream3d, states2d, n, w1, w2, w3, *, S, R, TC, T_SEC, NSEC, Mr,
-          WR, SWr, log2m, has_exc, interpret=False, ablate=()):
+          WR, SWr, log2m, has_exc, packed23=False, interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, T_SEC=T_SEC, Mr=Mr,
                           WR=WR, log2m=log2m, has_exc=has_exc,
-                          ablate=ablate),
+                          packed23=packed23),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -186,7 +215,7 @@ def _call(stream3d, states2d, n, w1, w2, w3, *, S, R, TC, T_SEC, NSEC, Mr,
         out_shape=jax.ShapeDtypeStruct((NSEC, T_SEC, R, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
         ],
         interpret=interpret,
     )(states2d, jnp.asarray([[n]], jnp.int32), stream3d, w1, w2, w3)
@@ -200,21 +229,32 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
-def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
-           S: int, T: int, has_exc: bool, t_sec: int, sec_len,
-           TC: int = 32, interpret: bool = False, ablate=()):
-    """Host wrapper: pack tables, stage each stream section as padded
-    (SWr, 128) i32 word rows, run the kernel.  Returns (>=T, S) u32."""
+def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
+          S: int, T: int, has_exc: bool, t_sec: int, sec_len,
+          TC: int = 128, interpret: bool = False):
+    """Stage all kernel inputs on device; returns (args, kwargs) for
+    _call.  Separated from decode() so callers can amortize the staging
+    (PreparedDecoder / production serving)."""
     M = dt.frame_size
     Mr = -(-M // 128)
     w1 = (dt.freq.astype(np.uint32) << 16) | dt.offset.astype(np.uint32)
+    packed23 = False
     if has_exc:
-        w2 = dt.high.astype(np.uint32)
-        w3 = dt.nb.astype(np.uint32)
+        high = dt.high.astype(np.uint32)
+        nbv = dt.nb.astype(np.uint32)
+        z = nbv == 0
+        if (high[z] < (1 << 30)).all() and (high[~z] & 3 == 0).all():
+            packed23 = True
+            w2 = np.where(z, high << 2, high | nbv).astype(np.uint32)
+            w3 = np.zeros(1, np.uint32)
+        else:
+            w2 = high
+            w3 = nbv
     else:
         w2 = dt.sym.astype(np.uint32)
         w3 = np.zeros(1, np.uint32)
-    WR = -(-(512 + S) // 512) + 1
+    # window: one slice per step covering all six rounds (<= 6S bytes)
+    WR = -(-(512 + 6 * S) // 512) + 1
     sec_len = np.asarray(sec_len, dtype=np.int64)
     nsec = len(sec_len)
     t_sec_pad = -(-t_sec // TC) * TC
@@ -227,13 +267,25 @@ def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
         off += int(sec_len[s])
     stream3d = mat.view("<i4").reshape(nsec, -1, 128)
     R = S // 128
-    return _call(
-        jnp.asarray(stream3d),
-        jnp.asarray(states.view(np.int32).reshape(R, 128)),
-        n,
-        jnp.asarray(_pad_rows(w1.view(np.int32), Mr)),
-        jnp.asarray(_pad_rows(w2.view(np.int32), Mr)),
-        jnp.asarray(_pad_rows(w3.view(np.int32), Mr if has_exc else 1)),
-        S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=nsec, Mr=Mr, WR=WR,
-        SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
-        interpret=interpret, ablate=ablate)
+    args = (jnp.asarray(stream3d),
+            jnp.asarray(states.view(np.int32).reshape(R, 128)),
+            n,
+            jnp.asarray(_pad_rows(w1.view(np.int32), Mr)),
+            jnp.asarray(_pad_rows(w2.view(np.int32), Mr)),
+            jnp.asarray(_pad_rows(w3.view(np.int32),
+                                  Mr if (has_exc and not packed23)
+                                  else 1)))
+    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=nsec, Mr=Mr, WR=WR,
+              SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
+              packed23=packed23, interpret=interpret)
+    return args, kw
+
+
+def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
+           S: int, T: int, has_exc: bool, t_sec: int, sec_len,
+           TC: int = 128, interpret: bool = False):
+    """One-shot host wrapper: stage + run.  Returns (>=T, S) u32."""
+    args, kw = stage(payload, states, dt, n, S=S, T=T, has_exc=has_exc,
+                     t_sec=t_sec, sec_len=sec_len, TC=TC,
+                     interpret=interpret)
+    return _call(*args, **kw)

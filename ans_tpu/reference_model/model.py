@@ -100,12 +100,19 @@ def scale_freqs(S, F, mapping, M: int, sigma: int, freq_sum: int) -> bool:
 
 
 def adjust_freqs(freqs, largest_sym: int, require_u16: bool,
-                 H_approx: int = 1) -> np.ndarray:
+                 H_approx: int = 1,
+                 max_frame: int | None = None) -> np.ndarray:
     """Frame-size search: smallest power-of-two frame whose cross entropy is
     within H_approx/1000 of H0.
 
     reference: ans_util.hpp:100-157.  Returns scaled freqs (0 for absent
     symbols) of length largest_sym+1; their sum is the (power-of-two) frame.
+
+    max_frame (ans_tpu extension, None = reference behavior): stop the
+    doubling search at this frame size even if the entropy target is not
+    met — the TPU decode-table gather cost scales with the frame, so lane
+    codecs trade ~0.1-0.4% compression for a much smaller table
+    (docs/FORMAT.md).  The frame never goes below next_pow2(sigma).
     """
     freqs = np.asarray(freqs, dtype=np.uint64)
     nz = np.flatnonzero(freqs)
@@ -136,6 +143,8 @@ def adjust_freqs(freqs, largest_sym: int, require_u16: bool,
         # H == XH == threshold == 0 and the reference loops forever
         # (ans_util.hpp:149 never fires); we accept the exact model instead.
         if XH < threshold or XH == 0.0:
+            break
+        if max_frame is not None and target >= max_frame:
             break
         target *= 2
         prev = scaled.copy()

@@ -25,6 +25,11 @@ from ..constants import (K, MSB_MAX_SIGMA, RADIX, fold_max_sigma,
 from . import mappings, model
 from .model import adjust_freqs, load_prelude, serialize_prelude
 
+try:  # optional C++ fast path (ans_tpu/native); pure-Python fallback below
+    from ..native import lib as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 NUM_STATES = 4
 
 
@@ -64,6 +69,17 @@ def interleaved_encode(mapped, nfreqs, frame_size: int,
     before the symbol's renorm word, lowest byte first), as produced by
     mappings.fold_exceptions.
     """
+    if _native is not None:
+        nf = np.ascontiguousarray(nfreqs, np.uint32)
+        base = np.concatenate(([0], np.cumsum(nf.astype(np.uint64))[:-1])
+                              ).astype(np.uint32)
+        ec = (np.ascontiguousarray(exc_counts, np.uint8)
+              if exc_counts is not None else None)
+        eb = (np.ascontiguousarray(exc_bytes, np.uint8)
+              if exc_bytes is not None else None)
+        return _native.compat_encode(
+            np.ascontiguousarray(mapped, np.uint32), ec, eb, nf, base,
+            int(frame_size))
     freq_l, base_l, sub_l = _enc_tables(nfreqs)
     M = int(frame_size)
     L = K * M
@@ -98,15 +114,31 @@ def _dec_tables(nfreqs):
     return freq_slot, offset_slot, sym_slot
 
 
-def interleaved_decode(buf: bytes, n: int, nfreqs, undo=None):
+def interleaved_decode(buf: bytes, n: int, nfreqs, high_of_sym=None,
+                       nb_of_sym=None):
     """Decode n symbols from the stream end backwards.
 
-    undo: optional callable (sym, cursor) -> (value, new_cursor) that
-    consumes exception bytes walking the cursor backwards; identity uses
-    the slot symbol directly.
+    high_of_sym/nb_of_sym: optional per-symbol reconstruction arrays for
+    fold/msb coders (exception bytes are re-read LIFO and merged as the
+    little-endian low part); identity coders emit the slot symbol.
     Returns a uint32 array.
     """
     freq_slot, offset_slot, sym_slot = _dec_tables(nfreqs)
+    if _native is not None:
+        high_slot = nb_slot = None
+        if high_of_sym is not None:
+            high_slot = np.ascontiguousarray(
+                np.asarray(high_of_sym, np.uint32)[sym_slot])
+            nb_slot = np.ascontiguousarray(
+                np.asarray(nb_of_sym, np.uint8)[sym_slot])
+        return _native.compat_decode(
+            buf, n, freq_slot.astype(np.uint32),
+            offset_slot.astype(np.uint32), sym_slot.astype(np.uint32),
+            int(np.asarray(nfreqs, dtype=np.int64).sum()),
+            high_slot, nb_slot)
+    undo = (None if high_of_sym is None
+            else _make_fold_undo(buf, np.asarray(high_of_sym),
+                                 np.asarray(nb_of_sym)))
     M = int(np.asarray(nfreqs, dtype=np.int64).sum())
     mask = M - 1
     log2M = M.bit_length() - 1
@@ -228,8 +260,7 @@ class AnsMsb:
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         high = mappings.msb_unmap_high(syms)
         nb = mappings.msb_exception_bytes(syms)
-        undo = _make_fold_undo(buf, high, nb)
-        return interleaved_decode(buf, n, nfreqs, undo)
+        return interleaved_decode(buf, n, nfreqs, high, nb)
 
 
 class AnsSmsb(AnsMsb):
@@ -262,8 +293,7 @@ class AnsFold:
         nfreqs, _ = load_prelude(buf)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         high, nb = mappings.fold_unmap_high(syms, self.fidelity)
-        undo = _make_fold_undo(buf, high, nb)
-        return interleaved_decode(buf, n, nfreqs, undo)
+        return interleaved_decode(buf, n, nfreqs, high, nb)
 
 
 class AnsReorderFold:
@@ -332,8 +362,7 @@ class AnsReorderFold:
                             high - np.uint32(thres)).astype(np.uint32)
         else:
             high = np.where(syms < thres, syms, high).astype(np.uint32)
-        undo = _make_fold_undo(buf, high, nb)
-        return interleaved_decode(buf, n, nfreqs, undo)
+        return interleaved_decode(buf, n, nfreqs, high, nb)
 
 
 # --------------------------------------------------------------------------
