@@ -51,10 +51,28 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
     else:
         nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
         excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
-    stream, total, states, step_base = lane_codec.encode_lanes(
-        mapped_ts, nb_ts, excb_ts, jnp.int32(n),
-        jnp.asarray(et.freq), jnp.asarray(et.base), jnp.asarray(et.ub),
-        S=S, T=T, log2m=et.log2m)
+    from . import engine as _engine
+    if _engine.encode_pallas_ok(et, S):
+        from ..ops import pallas_encode, pallas_place
+        packed, states, _ = pallas_encode.encode_scan(
+            mapped_ts, nb_ts, jnp.int32(n), et, S=S, T=T)
+        packed = packed[:T]
+        round_base, total = lane_codec.encode_totals(
+            packed, nb_ts, jnp.int32(n), S=S, T=T)
+        total = int(total)
+        t_sec, sec_len = framing.choose_sections(
+            np.asarray(round_base)[::6], total, T)
+        secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
+                                  S=S, T=T, t_sec=t_sec, sec_len=sec_len)
+        stream = pallas_place.sections_to_stream(np.asarray(secs),
+                                                 sec_len)
+        return framing.pack(np.asarray(states).view(np.uint32), stream,
+                            t_sec, sec_len)
+    else:
+        stream, total, states, step_base = lane_codec.encode_lanes(
+            mapped_ts, nb_ts, excb_ts, jnp.int32(n),
+            jnp.asarray(et.freq), jnp.asarray(et.base),
+            jnp.asarray(et.ub), S=S, T=T, log2m=et.log2m)
     total = int(total)
     t_sec, sec_len = framing.choose_sections(np.asarray(step_base),
                                              total, T)

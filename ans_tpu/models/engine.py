@@ -29,6 +29,22 @@ from ..ops import lane_codec, tables
 PALLAS_MAX_FRAME = 1 << 16
 
 
+def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
+    """Pallas encode scan applies when the table packs into u16 fields
+    (freq<<16|base needs M <= 2^16), ub stays below 2^31 (max freq < M),
+    and lanes fill whole vector rows."""
+    if os.environ.get("ANS_TPU_NO_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if S % 128 or S < 128:
+        return False
+    M = et.frame_size
+    if M < 2 or M > (1 << 16):
+        return False
+    return int(et.freq.max()) < M
+
+
 def _pallas_ok(dt: tables.DecTable, S: int) -> bool:
     if os.environ.get("ANS_TPU_NO_PALLAS"):
         return False

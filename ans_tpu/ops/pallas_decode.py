@@ -257,7 +257,11 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     WR = -(-(512 + 6 * S) // 512) + 1
     sec_len = np.asarray(sec_len, dtype=np.int64)
     nsec = len(sec_len)
-    t_sec_pad = -(-t_sec // TC) * TC
+    # TC must divide t_sec exactly (grid step t = sec*T_SEC + tc*TC + i
+    # must match the encoder's section cuts)
+    while t_sec % TC:
+        TC //= 2
+    t_sec_pad = t_sec
     sw_bytes = int(sec_len.max()) + WR * 512
     sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)  # bucketed
     mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)

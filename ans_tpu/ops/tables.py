@@ -24,18 +24,21 @@ A_L = 1 << A_KM_LOG2
 class EncTable:
     """Per-symbol encode table (index = mapped symbol id).
 
-    magic/shift implement exact division by freq via multiply-high
-    (Granlund-Montgomery): q = (x * magic) >> shift is exact for all
-    x < 2^31 with shift = 32 + ceil(log2 d), magic = ceil(2^shift / d)
-    (the error m*d - 2^shift < d <= 2^(shift-32) < 2^(shift-31) bounds
-    x*err below 2^shift).  Replaces the per-symbol u32 divide in the
-    encoder hot loop (reference's state/f at ans_int.hpp:80)."""
+    magic/mlog2 implement exact division by freq d via 32-bit
+    multiply-high (Granlund-Montgomery round-up variant, Hacker's
+    Delight 10-10): with l = ceil(log2 d) and
+    magic = floor(2^(32+l)/d) + 1 - 2^32,
+        t = mulhi32(x, magic); q = (t + ((x - t) >> 1)) >> (l - 1)
+    is exact for every u32 x and d >= 2; d == 1 is selected around
+    (q = x).  Replaces the per-symbol u32 divide in the Pallas encoder
+    (no u64 vector ops on TPU; the reference divides at
+    ans_int.hpp:80)."""
 
     freq: np.ndarray  # u32 (sigma,)
     base: np.ndarray  # u32 (sigma,) cumulative freq
     ub: np.ndarray  # u32 (sigma,) renorm threshold 256*(L/M)*freq
-    magic: np.ndarray  # u64 (sigma,)
-    shift: np.ndarray  # u32 (sigma,)
+    magic: np.ndarray  # u32 (sigma,) GM round-up multiplier (0 for d=1)
+    mlog2: np.ndarray  # u32 (sigma,) ceil(log2 freq)
     frame_size: int
     log2m: int
 
@@ -72,15 +75,15 @@ def build_enc_table(nfreqs: np.ndarray) -> EncTable:
     # 256 * (L/M) * freq; L/M = 2**(A_KM_LOG2 - log2m) is an exact integer
     k256 = np.uint64(1) << np.uint64(A_KM_LOG2 - log2m + 8)
     ub = (k256 * nf).astype(np.uint32)  # <= 2**31 * f / M <= 2**31, fits
-    d = np.maximum(nf, 1)
-    ceil_log2 = np.frompyfunc(lambda x: max(1, int(x - 1).bit_length()),
-                              1, 1)(d.astype(object))
-    shift = (32 + ceil_log2.astype(np.int64)).astype(np.uint32)
-    magic = np.array(
-        [-((-1 << int(s)) // int(dd)) for s, dd in
-         zip(shift.tolist(), d.tolist())], dtype=np.uint64)
+    magic = np.zeros(len(nf), dtype=np.uint32)
+    mlog2 = np.zeros(len(nf), dtype=np.uint32)
+    for i, d in enumerate(nf.tolist()):
+        if d >= 2:
+            l = int(d - 1).bit_length()
+            mlog2[i] = l
+            magic[i] = ((1 << (32 + l)) // d) + 1 - (1 << 32)
     return EncTable(freq=nf.astype(np.uint32), base=base, ub=ub,
-                    magic=magic, shift=shift, frame_size=M, log2m=log2m)
+                    magic=magic, mlog2=mlog2, frame_size=M, log2m=log2m)
 
 
 def build_dec_table(nfreqs: np.ndarray,
