@@ -24,6 +24,7 @@ from ..ops import lane_codec, mappings_jax as mj, tables
 from ..reference_model import mappings as map_np
 from ..reference_model.model import (adjust_freqs, load_prelude,
                                      serialize_prelude)
+from ..utils.stats import record_stats
 from . import config, framing
 
 U32 = jnp.uint32
@@ -121,6 +122,7 @@ class AnsInt:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(jnp.asarray(values), None, None,
                                 len(values), nfreqs, self.lanes)
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -159,6 +161,7 @@ class AnsMsb:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -204,6 +207,7 @@ class AnsFold:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -260,6 +264,8 @@ class AnsReorderFold:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
+        record_stats(prelude_bytes=len(header) + len(prelude),
+                     encode_bytes=len(stream))
         return bytes(header) + prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:

@@ -262,58 +262,6 @@ decode_lanes = jax.jit(decode_lanes_impl,
                        static_argnames=("S", "T", "log2m", "has_exc"))
 
 
-# --------------------------------------------------------------------------
-# scatter-free placement (TPU path)
-# --------------------------------------------------------------------------
-# XLA's scatter lowers to a serialized loop on TPU (~20ns/element), so the
-# Pallas-encode path uses a gather-only formulation instead:
-#   1. per (step, round): compact the masked lane bytes into a dense slab
-#      with a batched binary search over the inclusive prefix sums
-#      (slab[p] = bytes[smallest lane l with incl[l] > p]) — the monotone
-#      inverse of the rank mapping;
-#   2. final stream[g] = slab[row(g), g - base(row(g))] where row(g) is a
-#      binary search over the flat (step, round) base offsets — a ragged
-#      concatenation done entirely with gathers.
-
-def _batched_searchsorted(incl, queries, iters):
-    """incl: (B, S) nondecreasing; queries: (B, S) values.  Returns the
-    smallest index l with incl[b, l] > q (0..S)."""
-    B, S = incl.shape
-    lo = jnp.zeros_like(queries)
-    hi = jnp.full_like(queries, S)
-    for _ in range(iters):
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(incl, jnp.minimum(mid, S - 1), axis=1)
-        gt = v > queries
-        hi = jnp.where(gt, mid, hi)
-        lo = jnp.where(gt, lo, mid + 1)
-    return lo
-
-
-def encode_masks_impl(packed, nb, n, *, S, T):
-    """Phase A: round masks, slabs prefix data and totals from the Pallas
-    scan's packed words.  Returns (incl (6T? ...) see placement)."""
-    lanes = jnp.arange(S, dtype=jnp.int32)
-    valid = (jnp.arange(T, dtype=jnp.int32)[:, None] * S
-             + lanes[None, :]) < n
-    rc = jnp.where(valid, (packed >> 24) & 3, 0)
-    nb_all = jnp.where(valid, nb.astype(jnp.int32), 0)
-    rmask_i = (jnp.arange(3)[None, None, :]
-               < rc[..., None]).astype(jnp.int32)           # (T,S,3)
-    emask_i = (jnp.arange(3)[None, None, :]
-               < nb_all[..., None]).astype(jnp.int32)       # (T,S,3)
-    masks = jnp.concatenate([rmask_i, emask_i], axis=-1)    # (T,S,6)
-    incl = jnp.cumsum(masks, axis=1)                        # (T,S,6)
-    round_tot = incl[:, -1, :]                              # (T,6)
-    flat_tot = round_tot.reshape(-1)
-    round_base = jnp.cumsum(flat_tot) - flat_tot            # (6T,) flat
-    total = flat_tot.sum()
-    return incl, round_base, total
-
-
-encode_masks = jax.jit(encode_masks_impl, static_argnames=("S", "T"))
-
-
 def encode_totals_impl(packed, nb, n, *, S, T):
     """Per-(step, round) byte totals from the scan's packed words —
     reduction only (no (T,S,6) materialization), for section planning."""
@@ -333,61 +281,3 @@ def encode_totals_impl(packed, nb, n, *, S, T):
 
 encode_totals = jax.jit(encode_totals_impl, static_argnames=("S", "T"))
 
-
-def place_stream_gather_impl(packed, nb, excb, incl, round_base, n, *,
-                             S, T, TOTC):
-    """Phase B: build the stream of length TOTC (>= total, host-chosen
-    bucket) with gathers only."""
-    rc = (packed >> 24) & 3
-    # decode-order byte for (slot class c, lane): renorm round j reads
-    # emission slot rc-1-j; exception round j reads slot nb-1-j
-    rb = [((packed >> (8 * i)) & 0xFF) for i in range(3)]
-    rbytes = jnp.stack(rb, axis=-1)                         # (T,S,3)
-    idx_r = jnp.clip(rc[..., None]
-                     - 1 - jnp.arange(3)[None, None, :], 0, 2)
-    renorm_read = jnp.take_along_axis(rbytes, idx_r, axis=2)
-    nb_i = nb.astype(jnp.int32)
-    idx_e = jnp.clip(nb_i[..., None]
-                     - 1 - jnp.arange(3)[None, None, :], 0, 2)
-    exc_read = jnp.take_along_axis(excb.astype(jnp.int32), idx_e, axis=2)
-    bytes6 = jnp.concatenate([renorm_read, exc_read], axis=2)  # (T,S,6)
-
-    # compact each (t, c) row: slab[p] = bytes6[l(p)] with l(p) from the
-    # batched binary search over incl
-    B = 6 * T
-    incl_b = incl.transpose(0, 2, 1).reshape(B, S)
-    bytes_b = bytes6.transpose(0, 2, 1).reshape(B, S)
-    iters = max(1, (S - 1).bit_length() + 1)
-    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :],
-                           (B, S))
-    src = _batched_searchsorted(incl_b, pos, iters)         # (B,S)
-    slab = jnp.take_along_axis(bytes_b, jnp.minimum(src, S - 1), axis=1)
-
-    # ragged concat: row(g) = last row with round_base <= g
-    g = jnp.arange(TOTC, dtype=jnp.int32)
-    lo = jnp.zeros_like(g)
-    hi = jnp.full_like(g, B)
-    for _ in range(max(1, (B - 1).bit_length() + 1)):
-        mid = (lo + hi) >> 1
-        v = jnp.take(round_base, jnp.minimum(mid, B - 1), mode="clip")
-        gt = v > g
-        hi = jnp.where(gt, mid, hi)
-        lo = jnp.where(gt, lo, mid + 1)
-    row = jnp.maximum(lo - 1, 0)
-    off = g - jnp.take(round_base, row, mode="clip")
-    flat = slab.reshape(-1)
-    out = jnp.take(flat, row * S + jnp.minimum(off, S - 1), mode="clip")
-    return out.astype(U8)
-
-
-place_stream_gather = jax.jit(place_stream_gather_impl,
-                              static_argnames=("S", "T", "TOTC"))
-
-
-def totc_bucket(total: int) -> int:
-    """Pad the stream length to a bucket so phase-B recompiles are
-    bounded (pow2 granularity of 1/8)."""
-    if total <= 4096:
-        return 4096
-    b = 1 << (int(total - 1).bit_length() - 3)
-    return -(-total // b) * b
