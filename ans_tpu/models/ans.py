@@ -63,8 +63,11 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
         total = int(total)
         t_sec, sec_len = framing.choose_sections(
             np.asarray(round_base)[::6], total, T)
+        NR = 2 if et.log2m <= 16 else 3
+        NE = int(jnp.max(nb_ts)) if nb_dev is not None else 0
         secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
-                                  S=S, T=T, t_sec=t_sec, sec_len=sec_len)
+                                  S=S, T=T, t_sec=t_sec, sec_len=sec_len,
+                                  NR=NR, NE=NE)
         stream = pallas_place.sections_to_stream(np.asarray(secs),
                                                  sec_len)
         return framing.pack(np.asarray(states).view(np.uint32), stream,

@@ -62,11 +62,11 @@ def _lookup(rows, idx, Mr, B):
     return terms[0]
 
 
-def _prefix6(m6, R):
-    """Batched exclusive prefix sums of six (R,128) masks stacked as
-    (6R, 128), each in lane-major order within its own channel.
-    Returns (exclusive ranks (6R,128), per-channel totals (6, 128))."""
-    B = 6 * R
+def _prefixc(m6, R, C):
+    """Batched exclusive prefix sums of C (R,128) masks stacked as
+    (C*R, 128), each in lane-major order within its own channel.
+    Returns (exclusive ranks (C*R,128), per-channel totals (C, 128))."""
+    B = C * R
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     inc = m6
     for d in (1, 2, 4, 8, 16, 32, 64):
@@ -83,17 +83,21 @@ def _prefix6(m6, R):
             d *= 2
         excl_row = rinc - row_tot
         chan_tot = jnp.concatenate(
-            [rinc[c * R + R - 1:c * R + R] for c in range(6)],
-            axis=0)                           # (6, 128), lane-uniform
+            [rinc[c * R + R - 1:c * R + R] for c in range(C)],
+            axis=0)                           # (C, 128), lane-uniform
     else:
         excl_row = jnp.zeros_like(row_tot)
-        chan_tot = row_tot                    # (6, 128) when R == 1
+        chan_tot = row_tot                    # (C, 128) when R == 1
     return (inc - m6) + excl_row, chan_tot
+
+
+def _prefix6(m6, R):
+    return _prefixc(m6, R, 6)
 
 
 def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             out_ref, state_scr, cur_scr, *, S, R, TC, T_SEC, Mr, WR,
-            log2m, has_exc, packed23):
+            log2m, has_exc, packed23, NR, NE):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
     mask = (1 << log2m) - 1
@@ -124,52 +128,48 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
         off = word1 & 0xFFFF
         st0 = f * jax.lax.shift_right_logical(state, log2m) + off
         st0 = jnp.where(valid, st0, state)
-        # all six round masks before any read (format invariant)
-        m0 = (valid & (st0 < L)).astype(jnp.int32)
-        m1 = (valid & (st0 < (L >> 8))).astype(jnp.int32)
-        m2 = (valid & (st0 < (L >> 16))).astype(jnp.int32)
+        # round masks before any read (format invariant); statically
+        # empty rounds are skipped: M <= 2^16 bounds renorm reads at 2
+        # (NR), the table's max nb bounds exception reads (NE)
+        CH = NR + NE
+        ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
+              for j in range(NR)]
         w23 = _lookup(w2, slot, Mr, R)
         if has_exc:
             if packed23:
                 nb = jnp.where(valid, w23 & 3, 0)
             else:
                 nb = jnp.where(valid, _lookup(w3, slot, Mr, R), 0)
-            m3 = (nb > 0).astype(jnp.int32)
-            m4 = (nb > 1).astype(jnp.int32)
-            m5 = (nb > 2).astype(jnp.int32)
-        else:
-            m3 = m4 = m5 = jnp.zeros((R, 128), jnp.int32)
-        m6 = jnp.concatenate([m0, m1, m2, m3, m4, m5], axis=0)
-        rank, chan_tot = _prefix6(m6, R)
-        # round bases: exclusive cumulative totals across the 6 channels
-        base1 = chan_tot[0:1]
-        base2 = base1 + chan_tot[1:2]
-        base3 = base2 + chan_tot[2:3]
-        base4 = base3 + chan_tot[3:4]
-        base5 = base4 + chan_tot[4:5]
-        step_tot = base5 + chan_tot[5:6]                        # (1,128)
-        bases = jnp.concatenate(
-            [jnp.zeros((1, 128), jnp.int32), base1, base2, base3, base4,
-             base5], axis=0)                                    # (6,128)
+            ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
+        m6 = jnp.concatenate(ms, axis=0)                    # (CH*R,128)
+        rank, chan_tot = _prefixc(m6, R, CH)
+        # round bases: exclusive cumulative totals across the channels
+        bases_l = [jnp.zeros((1, 128), jnp.int32)]
+        for c in range(CH):
+            bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
+        step_tot = bases_l[-1]                              # (1,128)
+        bases = jnp.concatenate(bases_l[:-1], axis=0)       # (CH,128)
         # one window slice per step; the only scalar extraction
         row0 = cursor[0, 0] >> 9
         win = stream_ref[0, pl.ds(row0, WR), :]
         base_in_win = cursor - (row0 << 9)                      # (1,128)
         byte_pos = (base_in_win + rank
-                    + jnp.repeat(bases, R, axis=0))             # (6R,128)
+                    + jnp.repeat(bases, R, axis=0))            # (CH*R,128)
         q = byte_pos >> 2
-        w = _lookup(win, q, WR, 6 * R)
+        w = _lookup(win, q, WR, CH * R)
         byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
         # merge: renorm rounds high-first, then exception bytes
         st = st0
-        st = jnp.where(m0 > 0, (st << 8) | byte6[0:R], st)
-        st = jnp.where(m1 > 0, (st << 8) | byte6[R:2 * R], st)
-        st = jnp.where(m2 > 0, (st << 8) | byte6[2 * R:3 * R], st)
+        for j in range(NR):
+            st = jnp.where(ms[j] > 0,
+                           (st << 8) | byte6[j * R:(j + 1) * R], st)
         if has_exc:
             low = jnp.zeros((R, 128), jnp.int32)
-            low = jnp.where(m3 > 0, (low << 8) | byte6[3 * R:4 * R], low)
-            low = jnp.where(m4 > 0, (low << 8) | byte6[4 * R:5 * R], low)
-            low = jnp.where(m5 > 0, (low << 8) | byte6[5 * R:6 * R], low)
+            for j in range(NE):
+                c = NR + j
+                low = jnp.where(ms[c] > 0,
+                                (low << 8) | byte6[c * R:(c + 1) * R],
+                                low)
             if packed23:
                 high = jnp.where(
                     nb == 0, jax.lax.shift_right_logical(w23, 2),
@@ -191,14 +191,15 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
 @functools.partial(jax.jit,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Mr",
                                     "WR", "SWr", "log2m", "has_exc",
-                                    "packed23", "interpret"))
+                                    "packed23", "NR", "NE", "interpret"))
 def _call(stream3d, states2d, n, w1, w2, w3, *, S, R, TC, T_SEC, NSEC, Mr,
-          WR, SWr, log2m, has_exc, packed23=False, interpret=False):
+          WR, SWr, log2m, has_exc, packed23=False, NR=3, NE=3,
+          interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, T_SEC=T_SEC, Mr=Mr,
                           WR=WR, log2m=log2m, has_exc=has_exc,
-                          packed23=packed23),
+                          packed23=packed23, NR=NR, NE=NE),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -253,8 +254,13 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     else:
         w2 = dt.sym.astype(np.uint32)
         w3 = np.zeros(1, np.uint32)
-    # window: one slice per step covering all six rounds (<= 6S bytes)
-    WR = -(-(512 + 6 * S) // 512) + 1
+    # static round counts: M <= 2^16 means at most 2 renorm reads
+    # (state >= 2^23/M >= 2^7 after a decode step; two 8-bit refills
+    # always reach L = 2^23); exception rounds bounded by the table
+    NR = 2 if dt.log2m <= 16 else 3
+    NE = int(dt.nb.max()) if has_exc else 0
+    # window: one slice per step covering all rounds (<= (NR+NE)S bytes)
+    WR = -(-(512 + (NR + NE) * S) // 512) + 1
     sec_len = np.asarray(sec_len, dtype=np.int64)
     nsec = len(sec_len)
     # TC must divide t_sec exactly (grid step t = sec*T_SEC + tc*TC + i
@@ -281,7 +287,7 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
                                   else 1)))
     kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=nsec, Mr=Mr, WR=WR,
               SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
-              packed23=packed23, interpret=interpret)
+              packed23=packed23, NR=NR, NE=NE, interpret=interpret)
     return args, kw
 
 

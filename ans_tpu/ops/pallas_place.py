@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _prefix6
+from .pallas_decode import _prefixc
 
 _lsr = jax.lax.shift_right_logical
 _NEG = -256
@@ -88,12 +88,13 @@ def _route(w, rounds, B):
 
 
 def _kernel(n_ref, packed_ref, nb_ref, excw_ref, out_ref, cur_scr, *,
-            S, R, TC, T_SEC, SWr, WIN):
+            S, R, TC, T_SEC, SWr, WIN, NR, NE):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
-    B = 6 * R
-    RB = max(1, (6 * S - 1).bit_length())      # routing rounds (bytes)
-    RW = RB                                    # word deltas <= 4.5*S
+    CH = NR + NE
+    B = CH * R
+    RB = max(1, (CH * S - 1).bit_length())     # routing rounds (bytes)
+    RW = RB                                    # word deltas <= 3/4 * CH*S
 
     @pl.when(tc == 0)
     def _new_section():
@@ -114,37 +115,26 @@ def _kernel(n_ref, packed_ref, nb_ref, excw_ref, out_ref, cur_scr, *,
         nb = jnp.where(valid, nb_ref[0, pl.ds(i, 1)][0], 0)
         excw = excw_ref[0, pl.ds(i, 1)][0]
         rc = jnp.where(valid, _lsr(pk, 24) & 3, 0)
-        m0 = (rc > 0).astype(jnp.int32)
-        m1 = (rc > 1).astype(jnp.int32)
-        m2 = (rc > 2).astype(jnp.int32)
-        m3 = (nb > 0).astype(jnp.int32)
-        m4 = (nb > 1).astype(jnp.int32)
-        m5 = (nb > 2).astype(jnp.int32)
-        m6 = jnp.concatenate([m0, m1, m2, m3, m4, m5], axis=0)
-        rank, chan_tot = _prefix6(m6, R)
-        base1 = chan_tot[0:1]
-        base2 = base1 + chan_tot[1:2]
-        base3 = base2 + chan_tot[2:3]
-        base4 = base3 + chan_tot[3:4]
-        base5 = base4 + chan_tot[4:5]
-        step_tot = base5 + chan_tot[5:6]
-        bases = jnp.concatenate(
-            [jnp.zeros((1, 128), jnp.int32), base1, base2, base3, base4,
-             base5], axis=0)
-        pos = jnp.repeat(bases, R, axis=0) + rank           # (6R,128)
+        ms = [(rc > j).astype(jnp.int32) for j in range(NR)]
+        ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
+        m6 = jnp.concatenate(ms, axis=0)
+        rank, chan_tot = _prefixc(m6, R, CH)
+        bases_l = [jnp.zeros((1, 128), jnp.int32)]
+        for c in range(CH):
+            bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
+        step_tot = bases_l[-1]
+        bases = jnp.concatenate(bases_l[:-1], axis=0)
+        pos = jnp.repeat(bases, R, axis=0) + rank           # (CH*R,128)
         # decode-order bytes: renorm rounds read emission slots high-first
         b0 = pk & 0xFF
         b1 = _lsr(pk, 8) & 0xFF
         b2 = _lsr(pk, 16) & 0xFF
-        r_first = jnp.where(rc == 3, b2, jnp.where(rc == 2, b1, b0))
-        r_second = jnp.where(rc == 3, b1, b0)
-        r_third = b0
-        e_first = _lsr(excw, 8 * jnp.maximum(nb - 1, 0)) & 0xFF
-        e_second = _lsr(excw, 8 * jnp.maximum(nb - 2, 0)) & 0xFF
-        e_third = excw & 0xFF
-        bytes6 = jnp.concatenate(
-            [r_first, r_second, r_third, e_first, e_second, e_third],
-            axis=0)                                         # (6R,128)
+        rparts = [jnp.where(rc == 3, b2, jnp.where(rc == 2, b1, b0)),
+                  jnp.where(rc == 3, b1, b0), b0][:NR]
+        eparts = [_lsr(excw, 8 * jnp.maximum(nb - 1, 0)) & 0xFF,
+                  _lsr(excw, 8 * jnp.maximum(nb - 2, 0)) & 0xFF,
+                  excw & 0xFF][:NE]
+        bytes6 = jnp.concatenate(rparts + eparts, axis=0)   # (CH*R,128)
         delta = flatB - pos
         w = jnp.where(m6 > 0, (delta << 8) | bytes6, _NEG)
         w = _route(w, RB, B)
@@ -200,13 +190,14 @@ def _kernel(n_ref, packed_ref, nb_ref, excw_ref, out_ref, cur_scr, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC",
-                                    "NTB", "SWr", "WIN", "interpret"))
+                                    "NTB", "SWr", "WIN", "NR", "NE",
+                                    "interpret"))
 def _call(packed4, nb4, excw4, n, *, S, R, TC, T_SEC, NSEC, NTB, SWr,
-          WIN, interpret=False):
+          WIN, NR=3, NE=3, interpret=False):
     ntc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, T_SEC=T_SEC,
-                          SWr=SWr, WIN=WIN),
+                          SWr=SWr, WIN=WIN, NR=NR, NE=NE),
         grid=(NSEC, ntc),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
@@ -230,7 +221,7 @@ def _call(packed4, nb4, excw4, n, *, S, R, TC, T_SEC, NSEC, NTB, SWr,
 
 
 def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
-          interpret=False):
+          NR=3, NE=3, interpret=False):
     """Host wrapper: stage inputs per (section, chunk), run the kernel,
     return the packed stream sections as a device (NSEC, SWr, 128) i32
     array (bytes in row-major little-endian word order).
@@ -244,7 +235,7 @@ def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
     sec_len = np.asarray(sec_len, dtype=np.int64)
     NSEC = len(sec_len)
     R = S // 128
-    WIN = 6 * S // 512 + 2
+    WIN = (NR + NE) * S // 512 + 2
     sw_bytes = int(sec_len.max()) + WIN * 512
     sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
     SWr = sw_bytes // 512
@@ -260,7 +251,7 @@ def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
             | (excb_ts[..., 2].astype(jnp.int32) << 16))
     out = _call(stage4(packed), stage4(nb_ts.astype(jnp.int32)),
                 stage4(excw), n, S=S, R=R, TC=TC, T_SEC=t_sec,
-                NSEC=NSEC, NTB=NTB, SWr=SWr, WIN=WIN,
+                NSEC=NSEC, NTB=NTB, SWr=SWr, WIN=WIN, NR=NR, NE=NE,
                 interpret=interpret)
     return out
 
