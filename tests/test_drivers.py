@@ -119,3 +119,16 @@ def test_generate_bwtmtf_driver(tmp_path):
     generate_bwtmtf.main(["-i", str(src), "-o", str(out)])
     ranks = io.read_file_u32(str(out))
     assert len(ranks) == len(src.read_bytes())
+
+
+def test_generate_rlz():
+    from ans_tpu.drivers.generate_rlz import (rlz_factorize,
+                                              rlz_reconstruct)
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 30, 2000).astype(np.uint8)
+    text = np.concatenate([base[50:400], base[900:1500],
+                           rng.integers(0, 255, 30).astype(np.uint8)])
+    lens, offs = rlz_factorize(text, base)
+    np.testing.assert_array_equal(rlz_reconstruct(lens, offs, base), text)
+    # the factor streams are the experiment datasets (rlz-d64 analogues)
+    assert lens.dtype == np.uint32 and offs.dtype == np.uint32
