@@ -32,14 +32,24 @@ class PseudoAdaptive:
     """Block codec with per-block alphabets and models."""
 
     def __init__(self, block_size: int = 128 * 1024, kind: str = "int",
-                 lanes: int | None = None):
+                 lanes: int | None = None, engine: str = "auto"):
         assert kind in ("int", "msb")
         self.block_size = block_size
         self.kind = kind
         self.lanes = lanes
+        self.engine = engine
         self.name = f"pseudo_adaptive-{kind}-{block_size}"
 
     def _codec(self):
+        engine = self.engine
+        if engine == "auto":
+            # small blocks: per-block jit dispatch costs more than the
+            # native/compat host coder; large blocks: lane engine
+            engine = "lane" if self.block_size >= (1 << 16) else "compat"
+        if engine == "compat":
+            from ..reference_model import rans_compat
+            return (rans_compat.AnsInt() if self.kind == "int"
+                    else rans_compat.AnsMsb())
         if self.kind == "int":
             return lane_ans.AnsInt(lanes=self.lanes)
         return lane_ans.AnsMsb(lanes=self.lanes)
@@ -86,7 +96,7 @@ class PseudoAdaptive:
             blen = min(bs, n - off)
             (clen,) = struct.unpack_from("<I", blob, pos)
             pos += 4
-            body = blob[pos:pos + clen + 8]
+            body = blob[pos:pos + clen + 8]   # +8: interp may overread
             sigma, p = vbyte.decode_u32(body, 0)
             if sigma == 1:
                 sym, p = vbyte.decode_u32(body, p)
@@ -95,7 +105,10 @@ class PseudoAdaptive:
                 max_sym, p = vbyte.decode_u32(body, p)
                 alpha, words = interp.decode(body, sigma, max_sym + 1,
                                              bit_offset=p * 8)
-                remapped = codec.decode(body[p + words * 4:], blen)
+                # the stream slice must END exactly at the block boundary
+                # (the compat engine anchors its final states there)
+                remapped = codec.decode(blob[pos + p + words * 4:
+                                             pos + clen], blen)
                 out[off:off + blen] = np.asarray(alpha, dtype=np.uint32)[
                     remapped]
             pos += clen

@@ -63,7 +63,10 @@ def _check_frame(M: int) -> int:
     log2m = M.bit_length() - 1
     if log2m > A_MAX_FRAME_LOG2:
         raise ValueError(
-            f"frame 2**{log2m} exceeds fmt A limit 2**{A_MAX_FRAME_LOG2}")
+            f"frame 2**{log2m} exceeds the lane format's limit "
+            f"2**{A_MAX_FRAME_LOG2}; for giant raw alphabets use the "
+            f"compat engine (models.get(name, 'compat')), a folded coder "
+            f"(ANSmsb/ANSfold), or pass max_frame to the codec")
     return log2m
 
 
