@@ -87,8 +87,31 @@ def _route(w, rounds, B):
     return w
 
 
-def _kernel(n_ref, packed_ref, nb_ref, excw_ref, out_ref, cur_scr, *,
-            S, R, TC, T_SEC, SWr, WIN, NR, NE):
+@functools.lru_cache(maxsize=None)
+def _static_pack_maskword(B: int, rounds: int):
+    """The word compaction (flat position 4k -> k) is data-independent,
+    so the LSB-first router's take masks are compile-time constants:
+    simulate the routing on indices once and bake them, with bit k of
+    the word holding round k's take mask (passed as a kernel input —
+    pallas kernels cannot capture array constants)."""
+    N = B * 128
+    delta = np.full(N, -1, dtype=np.int64)
+    act = np.arange(0, N, 4)
+    delta[act] = act - act // 4
+    word = np.zeros(N, dtype=np.int32)
+    for k in range(rounds):
+        d = 1 << k
+        srcp = np.arange(N) + d
+        inc = np.where(srcp < N, delta[np.minimum(srcp, N - 1)], -1)
+        take = (inc >= 0) & (((inc >> k) & 1) == 1)
+        leave = (delta >= 0) & (((delta >> k) & 1) == 1)
+        delta = np.where(take, inc - d, np.where(leave, -1, delta))
+        word |= take.astype(np.int32) << k
+    return word.reshape(B, 128)
+
+
+def _kernel(n_ref, packed_ref, nb_ref, excw_ref, pmask_ref, out_ref,
+            cur_scr, *, S, R, TC, T_SEC, SWr, WIN, NR, NE):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
     CH = NR + NE
@@ -145,25 +168,19 @@ def _kernel(n_ref, packed_ref, nb_ref, excw_ref, out_ref, cur_scr, *,
         s2 = _flatshift_fwd(byte, 2, B) & 0xFF
         s3 = _flatshift_fwd(byte, 3, B) & 0xFF
         wfull = byte | (s1 << 8) | (s2 << 16) | (s3 << 24)
-        # word router carries a (delta, index) pair; the payload here is
-        # the word itself, so route (delta<<8 | 0) tags alongside via a
-        # second array — instead reuse one array of indices and gather?
-        # Simpler: route tag words whose payload is the flat word INDEX
-        # (f/4 fits in 8 bits only for tiny S), so route two arrays in
-        # lockstep: the tag (delta<<8) and the payload word.
-        active_w = (flatB & 3) == 0
-        wdelta = flatB - _lsr(flatB, 2)
-        tag = jnp.where(active_w, wdelta << 8, _NEG)
+        # word compaction (flat 4k -> k) is a FIXED permutation, so the
+        # router's take masks are baked constants (one conditional
+        # flat-shift per round, no tag bookkeeping)
         payload = wfull
+        pmask = pmask_ref[:]
         for k in range(RW):
-            inc_t = _flatshift_fwd(tag, 1 << k, B)
-            inc_p = _flatshift_fwd(payload, 1 << k, B)
-            take = (inc_t >= 0) & (((inc_t >> (8 + k)) & 1) == 1)
-            leave = (tag >= 0) & (((tag >> (8 + k)) & 1) == 1)
-            tag = jnp.where(take, inc_t - (1 << (8 + k)),
-                            jnp.where(leave, _NEG, tag))
-            payload = jnp.where(take, inc_p, payload)
-        words = jnp.where((tag >= 0) & ((tag >> 8) == 0), payload, 0)
+            cm = ((pmask >> k) & 1) == 1
+            payload = jnp.where(cm, _flatshift_fwd(payload, 1 << k, B),
+                                payload)
+        # zero everything past the step's word count (stale copies)
+        nwords = _lsr(step_tot + 3, 2)                      # (1,128)
+        words = jnp.where(flatB < jnp.broadcast_to(nwords, (B, 128)),
+                          payload, 0)
         # words now occupy flat positions [0, ceil(step_tot/4)) of (B,128)
         # byte-align to the cursor
         bal = cursor & 3                                     # (1,128)
@@ -210,13 +227,17 @@ def _call(packed4, nb4, excw4, n, *, S, R, TC, T_SEC, NSEC, NTB, SWr,
             pl.BlockSpec((1, TC, R, 128),
                          lambda s, t, ntc=ntc: (s * ntc + t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # pack masks
         ],
         out_specs=pl.BlockSpec((1, SWr, 128), lambda s, t: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NSEC, SWr, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray([[n]], jnp.int32), packed4, nb4, excw4)
+    )(jnp.asarray([[n]], jnp.int32), packed4, nb4, excw4,
+      jnp.asarray(_static_pack_maskword(
+          (NR + NE) * (S // 128),
+          max(1, ((NR + NE) * S - 1).bit_length()))))
     return out
 
 
