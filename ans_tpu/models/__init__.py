@@ -21,6 +21,7 @@ def _host_methods():
     from . import bytes as _b
     from .arith import Arith
     from .pfor import OptPFor
+    from .pseudo_adaptive import PseudoAdaptive as _pa
     from .shuff import Shuff
     return {
         "vbyte": _b.Vbyte,
@@ -40,6 +41,7 @@ def _host_methods():
         "streamvbyteANS": _b.StreamVbyteAns,
         "entropy_only": _b.EntropyOnly,
         "entropy": _b.EntropyOnly,
+        "pseudo_adaptive": _pa,
     }
 
 

@@ -118,7 +118,8 @@ class Arith:
         inc, _ = interp.decode(buf[pos:pos + plen2 + 8], sigma,
                                total + sigma + 1)
         pos += plen2
-        freq = np.diff(np.concatenate(([-1], np.asarray(inc)))) - 1
+        inc = np.asarray(inc, dtype=np.int64)
+        freq = np.diff(np.concatenate(([-1], inc))) - 1
         freq[0] = int(inc[0])
         cum = np.concatenate(([0], np.cumsum(freq)))
         syms = np.asarray(syms, dtype=np.uint32)

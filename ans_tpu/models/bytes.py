@@ -90,6 +90,7 @@ class AnsByte:
     def decode(self, buf: bytes, n: int) -> bytes:
         vals, words = interp.decode(buf, BYTE_MAX_SIGMA,
                                     BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
+        vals = np.asarray(vals, dtype=np.int64)
         nfreqs = np.diff(np.concatenate(([-1], vals))) - 1
         nfreqs[0] = vals[0]
         dt = tables.build_dec_table(nfreqs.astype(np.uint32))

@@ -196,3 +196,165 @@ void ans_mtf(const uint32_t* seq, int64_t n, int64_t sigma,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- interpolative coder ---
+// Bit-exact C++ twin of reference_model/interp.py + bitio.py (LSB-first
+// bits in little-endian u32 words; recursion as an explicit stack).
+
+namespace {
+
+struct BitWriterN {
+    uint8_t* out;
+    int64_t cap;
+    int64_t word_count = 0;
+    uint64_t cur = 0;
+    int off = 0;
+    bool overflow = false;
+
+    void put(uint64_t val, int bits) {
+        if (bits == 0) return;
+        if (bits > 32) {  // keep cur within 64 bits (off < 32 + 32)
+            put(val & 0xFFFFFFFFull, 32);
+            put(val >> 32, bits - 32);
+            return;
+        }
+        val &= (1ull << bits) - 1;
+        cur |= val << off;
+        off += bits;
+        while (off >= 32) {
+            if (4 * word_count + 4 > cap) { overflow = true; return; }
+            uint32_t w = (uint32_t)cur;
+            memcpy(out + 4 * word_count, &w, 4);
+            word_count++;
+            cur >>= 32;
+            off -= 32;
+        }
+    }
+    int64_t flush() {
+        if (off) {
+            if (4 * word_count + 4 > cap) return -1;
+            uint32_t w = (uint32_t)cur;
+            memcpy(out + 4 * word_count, &w, 4);
+            word_count++;
+            cur = 0;
+            off = 0;
+        }
+        return 4 * word_count;
+    }
+};
+
+struct BitReaderN {
+    const uint8_t* buf;
+    int64_t nbytes;
+    int64_t pos;  // bit position
+
+    uint64_t get(int bits) {
+        if (bits == 0) return 0;
+        if (bits > 32) {
+            uint64_t lo = get(32);
+            return lo | (get(bits - 32) << 32);
+        }
+        int64_t p = pos;
+        pos += bits;
+        int64_t byte0 = p >> 3;
+        uint64_t v = 0;
+        for (int i = 0; i < 8; i++) {
+            uint64_t b = (byte0 + i < nbytes) ? buf[byte0 + i] : 0;
+            v |= b << (8 * i);
+        }
+        return (v >> (p & 7)) & ((bits >= 64) ? ~0ull : ((1ull << bits) - 1));
+    }
+};
+
+static inline int hibit(uint64_t x) {
+    return x ? 63 - __builtin_clzll(x) : 0;
+}
+
+static void write_center_mid(BitWriterN& w, uint64_t val, uint64_t u) {
+    if (u == 1) return;
+    int b = hibit(u - 1) + 1;
+    uint64_t d = 2 * u - (1ull << b);
+    val = val + (u - (d >> 1));
+    if (val > u) val -= u;
+    uint64_t m = (1ull << b) - u;
+    if (val <= m) {
+        w.put(val - 1, b - 1);
+    } else {
+        val += m;
+        w.put((val - 1) >> 1, b - 1);
+        w.put((val - 1) & 1, 1);
+    }
+}
+
+static uint64_t read_center_mid(BitReaderN& r, uint64_t u) {
+    int b = (u == 1) ? 0 : hibit(u - 1) + 1;
+    uint64_t d = 2 * u - (1ull << b);
+    uint64_t val = 1;
+    if (u != 1) {
+        uint64_t m = (1ull << b) - u;
+        val = r.get(b - 1) + 1;
+        if (val > m) val = (2 * val + r.get(1)) - m - 1;
+    }
+    val += d >> 1;
+    if (val > u) val -= u;
+    return val;
+}
+
+struct Frame { int64_t start, n; uint64_t low, high; };
+
+}  // namespace
+
+extern "C" {
+
+// Encode seq[0:n] (strictly increasing u64, values in [0,u)) over
+// universe u; returns bytes written (whole words) or -1 on overflow.
+int64_t ans_interp_encode(const uint64_t* seq, int64_t n, uint64_t u,
+                          uint8_t* out, int64_t cap) {
+    BitWriterN w{out, cap};
+    Frame* stack = new Frame[2 * (n + 2) + 64];
+    int64_t sp = 0;
+    stack[sp++] = {0, n, 1, u + 1};
+    while (sp) {
+        Frame f = stack[--sp];
+        if (f.n == 0) continue;
+        int64_t h = (f.n + 1) >> 1;
+        int64_t n1 = h - 1;
+        int64_t n2 = f.n - h;
+        uint64_t v = seq[f.start + h - 1] + 1;
+        write_center_mid(w, v - f.low - n1 + 1,
+                         f.high - n2 - f.low - n1 + 1);
+        stack[sp++] = {f.start + h, n2, v + 1, f.high};
+        stack[sp++] = {f.start, n1, f.low, v - 1};
+        if (w.overflow) { delete[] stack; return -1; }
+    }
+    int64_t r = w.flush();
+    delete[] stack;
+    return r;
+}
+
+// Decode n values over universe u starting at bit_offset; returns words
+// consumed (relative to bit_offset).
+int64_t ans_interp_decode(const uint8_t* buf, int64_t nbytes, int64_t n,
+                          uint64_t u, int64_t bit_offset, uint64_t* out) {
+    BitReaderN r{buf, nbytes, bit_offset};
+    Frame* stack = new Frame[2 * (n + 2) + 64];
+    int64_t sp = 0;
+    stack[sp++] = {0, n, 1, u + 1};
+    while (sp) {
+        Frame f = stack[--sp];
+        if (f.n == 0) continue;
+        int64_t h = (f.n + 1) >> 1;
+        int64_t n1 = h - 1;
+        int64_t n2 = f.n - h;
+        uint64_t v = f.low + n1 - 1
+            + read_center_mid(r, f.high - n2 - f.low - n1 + 1);
+        out[f.start + h - 1] = v - 1;
+        stack[sp++] = {f.start + h, n2, v + 1, f.high};
+        stack[sp++] = {f.start, n1, f.low, v - 1};
+    }
+    int64_t words = (r.pos - bit_offset + 31) / 32;
+    delete[] stack;
+    return words;
+}
+
+}  // extern "C"

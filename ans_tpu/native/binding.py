@@ -40,6 +40,12 @@ class NativeLib:
                                         ct.c_void_p, ct.c_void_p, _u32p]
         c.ans_mtf.restype = None
         c.ans_mtf.argtypes = [_u32p, ct.c_int64, ct.c_int64, _u32p]
+        c.ans_interp_encode.restype = ct.c_int64
+        c.ans_interp_encode.argtypes = [_u64p, ct.c_int64, ct.c_uint64,
+                                        _u8p, ct.c_int64]
+        c.ans_interp_decode.restype = ct.c_int64
+        c.ans_interp_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64,
+                                        ct.c_uint64, ct.c_int64, _u64p]
 
     @classmethod
     def try_load(cls):
@@ -91,6 +97,25 @@ class NativeLib:
         if rc < 0:
             raise ValueError("corrupt compat stream (underrun)")
         return out
+
+    # ---- interpolative coder --------------------------------------------
+
+    def interp_encode(self, seq: np.ndarray, n: int, u: int) -> bytes:
+        cap = 16 * max(1, n) + 64 + (u.bit_length() // 4)
+        out = np.empty(cap, np.uint8)
+        size = self._c.ans_interp_encode(
+            np.ascontiguousarray(seq, np.uint64), n, u, out, cap)
+        if size < 0:
+            raise RuntimeError("native interp encode overflow")
+        return out[:size].tobytes()
+
+    def interp_decode(self, buf: bytes, n: int, u: int,
+                      bit_offset: int = 0):
+        out = np.empty(max(1, n), np.uint64)
+        arr = np.frombuffer(buf, np.uint8)
+        words = self._c.ans_interp_decode(arr, len(arr), n, u, bit_offset,
+                                          out)
+        return out[:n], int(words)
 
     # ---- transforms ------------------------------------------------------
 

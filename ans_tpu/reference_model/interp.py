@@ -12,7 +12,14 @@ The recursion is converted to an explicit stack so large alphabets
 
 from __future__ import annotations
 
+import numpy as np
+
 from .bitio import BitReader, BitWriter
+
+try:  # optional C++ fast path (ans_tpu/native); pure-Python fallback below
+    from ..native import lib as _native
+except Exception:  # pragma: no cover
+    _native = None
 
 
 def _hi(x: int) -> int:
@@ -61,6 +68,9 @@ def encode(seq, n: int, u: int) -> bytes:
     values are shifted by +1 ("we don't encode 0") and coded in [1, u+1].
     Returns the byte stream (whole little-endian u32 words).
     """
+    if _native is not None:
+        return _native.interp_encode(
+            np.ascontiguousarray(seq, dtype=np.uint64), n, int(u))
     w = BitWriter()
     # stack of (start, n, low, high); mid-first pre-order like the recursion
     stack = [(0, n, 1, u + 1)]
@@ -80,7 +90,9 @@ def encode(seq, n: int, u: int) -> bytes:
 
 
 def decode(buf: bytes, n: int, u: int, bit_offset: int = 0):
-    """Decode n values over universe u; returns (list, words_consumed)."""
+    """Decode n values over universe u; returns (values, words_consumed)."""
+    if _native is not None:
+        return _native.interp_decode(bytes(buf), n, int(u), bit_offset)
     r = BitReader(buf, bit_offset)
     out = [0] * n
     stack = [(0, n, 1, u + 1)]

@@ -158,11 +158,12 @@ def serialize_prelude(nfreqs, frame_size: int) -> bytes:
     increasing sequence B[s] = sum_{t<=s}(freq[t]+1) over universe
     frame_size + (max_sym+1) + 1.
     """
-    nfreqs = np.asarray(nfreqs, dtype=np.uint64)
+    nfreqs = np.asarray(nfreqs)
     max_sym = len(nfreqs) - 1
     out = bytearray(vbyte.encode_u32(max_sym))
     out.append(int(math.log2(frame_size)))
-    increasing = np.cumsum(nfreqs + 1, dtype=np.uint64) - 1
+    # single-pass u64 cumsum; nfreqs+1 stays in the input dtype (< 2^32)
+    increasing = np.cumsum(nfreqs + np.uint32(1), dtype=np.uint64) - 1
     out += interp.encode(increasing, len(nfreqs), frame_size + len(nfreqs) + 1)
     return bytes(out)
 
@@ -179,11 +180,9 @@ def load_prelude(buf: bytes):
     pos += 1
     n = max_sym + 1
     vals, words = interp.decode(buf, n, frame_size + n + 1, bit_offset=pos * 8)
-    nfreqs = np.zeros(n, dtype=np.uint32)
+    vals = np.asarray(vals, dtype=np.uint64)
+    nfreqs = np.empty(n, dtype=np.uint32)
     nfreqs[0] = vals[0]
-    prev = vals[0]
-    for s in range(1, n):
-        cur = vals[s]
-        nfreqs[s] = cur - prev - 1
-        prev = cur
+    if n > 1:
+        nfreqs[1:] = (np.diff(vals) - 1).astype(np.uint32)
     return nfreqs, pos + words * 4

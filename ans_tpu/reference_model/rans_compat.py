@@ -194,7 +194,9 @@ def _make_fold_undo(buf, high_of_sym, nb_of_sym):
 # --------------------------------------------------------------------------
 
 def _hist(mapped, minlength):
-    return np.bincount(mapped, minlength=minlength).astype(np.uint64)
+    # bincount yields int64; counts are nonnegative, so the u64 view is
+    # free (avoids a giant-alphabet copy)
+    return np.bincount(mapped, minlength=minlength).view(np.uint64)
 
 
 class AnsInt:
