@@ -104,3 +104,26 @@ def test_decode_is_size_directed(datasets):
     blob = _lane("ANSmsb").encode(v)
     out = _lane("ANSmsb").decode(blob, len(v))
     assert len(out) == len(v)
+
+
+def test_prepared_decoder_api(datasets):
+    """PreparedDecoder: stage once, decode repeatedly (serving path)."""
+    from ans_tpu.models import framing
+    from ans_tpu.models.engine import PreparedDecoder
+    from ans_tpu.ops import lane_codec, tables
+    from ans_tpu.reference_model import mappings as map_np
+    from ans_tpu.reference_model.model import load_prelude
+
+    v = datasets["zipf_large"]
+    codec = _lane("ANSfold-2")
+    blob = codec.encode(v)
+    nfreqs, plen = load_prelude(blob)
+    syms = np.arange(len(nfreqs), dtype=np.uint32)
+    high, nb = map_np.fold_unmap_high(syms, 2)
+    dt = tables.build_dec_table(nfreqs, high, nb)
+    S, states, payload, t_sec, sec_len = framing.parse(blob, plen)
+    prep = PreparedDecoder(payload, states, dt, len(v), S=S,
+                           T=lane_codec.lane_steps(len(v), S),
+                           has_exc=True, t_sec=t_sec, sec_len=sec_len)
+    for _ in range(2):  # re-runnable without re-staging
+        np.testing.assert_array_equal(prep.to_host(prep()), v)
