@@ -65,9 +65,10 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
             np.asarray(round_base)[::6], total, T)
         NR = 2 if et.log2m <= 16 else 3
         NE = int(jnp.max(nb_ts)) if nb_dev is not None else 0
+        tc_max = 128 if S <= 2048 else (64 if S <= 4096 else 32)
         secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
                                   S=S, T=T, t_sec=t_sec, sec_len=sec_len,
-                                  NR=NR, NE=NE)
+                                  NR=NR, NE=NE, tc_max=tc_max)
         stream = pallas_place.sections_to_stream(np.asarray(secs),
                                                  sec_len)
         return framing.pack(np.asarray(states).view(np.uint32), stream,

@@ -242,7 +242,7 @@ def _call(packed4, nb4, excw4, n, *, S, R, TC, T_SEC, NSEC, NTB, SWr,
 
 
 def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
-          NR=3, NE=3, interpret=False):
+          NR=3, NE=3, tc_max=128, interpret=False):
     """Host wrapper: stage inputs per (section, chunk), run the kernel,
     return the packed stream sections as a device (NSEC, SWr, 128) i32
     array (bytes in row-major little-endian word order).
@@ -250,7 +250,9 @@ def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
     packed: (T, S) i32 device (pallas_encode scan output, sliced to T)
     nb_ts:  (T, S) u32 device;  excb_ts: (T, S, 3) u8 device
     """
-    TC = 128
+    # tc_max caps the chunk so the three input blocks fit VMEM at
+    # large S (inputs cost 3 * TC * S * 4 bytes, double-buffered)
+    TC = tc_max
     while t_sec % TC:
         TC //= 2
     sec_len = np.asarray(sec_len, dtype=np.int64)
