@@ -16,6 +16,8 @@ header + prelude, then S independent per-lane substreams.
 
 from __future__ import annotations
 
+import time
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,14 +121,18 @@ class AnsInt:
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        t0 = time.perf_counter_ns()
         max_sym = int(values.max())
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
         nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
                               self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        t1 = time.perf_counter_ns()
         stream = _encode_stream(jnp.asarray(values), None, None,
                                 len(values), nfreqs, self.lanes)
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -156,6 +162,7 @@ class AnsMsb:
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        t0 = time.perf_counter_ns()
         mapped, k, b, hist = mj.msb_map_hist(jnp.asarray(values),
                                              length=MSB_MAX_SIGMA)
         freqs = np.asarray(hist).astype(np.uint64)
@@ -163,9 +170,12 @@ class AnsMsb:
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -201,6 +211,7 @@ class AnsFold:
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        t0 = time.perf_counter_ns()
         sigma_cap = fold_max_sigma(self.fidelity)
         mapped, k, b, hist = mj.fold_map_hist(
             jnp.asarray(values), fidelity=self.fidelity, length=sigma_cap)
@@ -209,9 +220,12 @@ class AnsFold:
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream))
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
@@ -239,6 +253,7 @@ class AnsReorderFold:
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        t0 = time.perf_counter_ns()
         f = self.fidelity
         thres = fold_threshold(f)
         max_raw = int(values.max())
@@ -266,10 +281,13 @@ class AnsReorderFold:
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
                                 self.lanes)
         record_stats(prelude_bytes=len(header) + len(prelude),
-                     encode_bytes=len(stream))
+                     encode_bytes=len(stream),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
         return bytes(header) + prelude + stream
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:

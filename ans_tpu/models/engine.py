@@ -57,19 +57,69 @@ def _pallas_ok(dt: tables.DecTable, S: int) -> bool:
     return dt.frame_size <= PALLAS_MAX_FRAME
 
 
+# largest live alphabet the pivot-search kernel handles well (the final
+# search levels + per-symbol lookup cost ~ 6*sigma/128 shuffle rows)
+SEARCH_MAX_SIGMA = 1 << 13
+
+
+def _search_cost(dt: tables.DecTable):
+    """Estimated per-step vector-op count of the pivot-search kernel
+    (None when ineligible).  Mirrors pallas_decode._kernel_search."""
+    if dt.nfreqs is None or dt.frame_size > (1 << 22):
+        return None
+    sigma = int((np.asarray(dt.nfreqs) > 0).sum())
+    if sigma > SEARCH_MAX_SIGMA:
+        return None
+    depth = (sigma - 1).bit_length() if sigma > 1 else 0
+    cost = 0
+    for k in range(depth):
+        rows = max(1, -(-(1 << (depth - 1 - k)) // 128))
+        cost += 3 * rows + 4
+    if dt.sym_high is not None or sigma != len(dt.nfreqs):
+        cost += 3 * max(1, -(-sigma // 128))  # w2 (+w3) lookup
+    return cost
+
+
+def choose_decode_engine(dt: tables.DecTable, S: int) -> str:
+    """'search' | 'direct' | 'xla' (env ANS_TPU_DECODE_ENGINE forces)."""
+    env = os.environ.get("ANS_TPU_DECODE_ENGINE")
+    if env:
+        return env
+    if (os.environ.get("ANS_TPU_NO_PALLAS")
+            or jax.default_backend() != "tpu" or S % 128 or S < 128):
+        return "xla"
+    direct = (6 * -(-dt.frame_size // 128) if _pallas_ok(dt, S)
+              else None)
+    search = _search_cost(dt)
+    if direct is None and search is None:
+        return "xla"
+    if search is None or (direct is not None and direct <= search):
+        return "direct"
+    return "search"
+
+
 class PreparedDecoder:
     """All decode inputs staged on device; call to run the kernel."""
 
     def __init__(self, payload: np.ndarray, states: np.ndarray,
                  dt: tables.DecTable, n: int, *, S: int, T: int,
-                 has_exc: bool, t_sec: int, sec_len):
+                 has_exc: bool, t_sec: int, sec_len, TC: int = 128):
         self.n, self.S, self.T = n, S, T
-        self.use_pallas = t_sec is not None and _pallas_ok(dt, S)
-        if self.use_pallas:
+        self.engine = (choose_decode_engine(dt, S) if t_sec is not None
+                       else "xla")
+        if self.engine == "search":
+            from ..ops import pallas_decode
+            st = tables.build_search_table(dt.nfreqs, dt.sym_high,
+                                           dt.sym_nb)
+            (self._args, self._kw) = pallas_decode.stage_search(
+                payload, states, st, n, S=S, T=T, t_sec=t_sec,
+                sec_len=sec_len, TC=TC)
+            self._fn = pallas_decode._call_search
+        elif self.engine == "direct":
             from ..ops import pallas_decode
             (self._args, self._kw) = pallas_decode.stage(
                 payload, states, dt, n, S=S, T=T, has_exc=has_exc,
-                t_sec=t_sec, sec_len=sec_len)
+                t_sec=t_sec, sec_len=sec_len, TC=TC)
             self._fn = pallas_decode._call
         else:
             stream = np.concatenate([payload, np.zeros(8, np.uint8)])

@@ -4,16 +4,21 @@ Counterpart of the reference's one-file shuff port
 (reference: include/shuff.hpp:734-897: Moffat-Katajainen codeword
 lengths, canonical min_code/lj_base arrays, interp-coded symbol set
 prelude, LUT-accelerated left-justified decode).  Re-designed rather
-than translated: lengths come from the classic two-queue merge over the
-sorted histogram, the prelude reuses this framework's vbyte+interp
-primitives, encode is vectorized NumPy (gather + bit scatter), decode is
-a 16-bit-LUT canonical decoder.  Wire format is self-defined (the
-reference's is likewise its own; no cross-compat requirement).
+than translated: lengths come from the classic heap merge over the
+histogram, the prelude reuses this framework's vbyte+interp primitives,
+and the bit streams are plain MSB-first byte sequences so both hot
+loops run either in the native backend (ans_native.cpp shuff_pack /
+shuff_unpack, 16-bit-LUT canonical decode) or as vectorized NumPy
+(encode: one bitwise_or scatter per word half; decode: per-symbol
+fallback loop).
 
 Format: vbyte(max_sym) | vbyte(sigma) | vbyte(max_len)
         | interp(sorted distinct symbols, universe max_sym+1)
-        | 5-bit code lengths per distinct symbol (sorted-symbol order)
-        | payload bits, codes MSB-first   (all bit-I/O via bitio)
+        | 6-bit code lengths per distinct symbol, MSB-first, byte-padded
+        | payload: canonical codes MSB-first, byte-padded
+
+Codeword lengths are limited to 32 bits (freq-halving flatten for the
+pathological cases), so every code fits a u32.
 """
 
 from __future__ import annotations
@@ -21,7 +26,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..reference_model import interp, vbyte
-from ..reference_model.bitio import BitReader, BitWriter
+from ..utils.stats import record_stats
+
+
+def _native():
+    from .. import native
+    return native.lib
 
 
 def code_lengths(freqs: np.ndarray) -> np.ndarray:
@@ -50,19 +60,110 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
     return depth[:sigma]
 
 
-def _canonical_codes(lens: np.ndarray):
-    """Assign canonical codes: sort by (len, sym); consecutive values."""
+def limited_code_lengths(freqs: np.ndarray, cap: int = 32) -> np.ndarray:
+    """code_lengths with a depth cap: halve frequencies until the tree
+    fits (cheap length-limit heuristic; only pathological skews with
+    huge n ever trigger it)."""
+    f = np.asarray(freqs, dtype=np.uint64)
+    lens = code_lengths(f)
+    while int(lens.max()) > cap:
+        f = (f + 1) >> np.uint64(1)
+        lens = code_lengths(f)
+    return lens
+
+
+def canonical_tables(lens: np.ndarray):
+    """Canonical code assignment, vectorized.
+
+    Returns (codes u32 per input index, order = argsort by (len, sym),
+    first_code i64 (max_len+2,), first_idx i64 (max_len+2,))."""
+    lens = np.asarray(lens, dtype=np.int64)
+    max_len = int(lens.max())
     order = np.lexsort((np.arange(len(lens)), lens))
-    codes = np.zeros(len(lens), dtype=np.uint64)
-    code = 0
-    prev_len = int(lens[order[0]])
-    for idx in order.tolist():
-        l = int(lens[idx])
-        code <<= (l - prev_len)
-        codes[idx] = code
-        code += 1
-        prev_len = l
-    return codes
+    count_l = np.bincount(lens, minlength=max_len + 2)
+    first_code = np.zeros(max_len + 2, dtype=np.int64)
+    first_idx = np.zeros(max_len + 2, dtype=np.int64)
+    code = idx = 0
+    for l in range(1, max_len + 2):
+        code <<= 1
+        first_code[l] = code
+        first_idx[l] = idx
+        code += int(count_l[l]) if l <= max_len else 0
+        idx += int(count_l[l]) if l <= max_len else 0
+    slens = lens[order]
+    rank_in_len = np.arange(len(lens)) - first_idx[slens]
+    codes = np.zeros(len(lens), dtype=np.uint32)
+    codes[order] = (first_code[slens] + rank_in_len).astype(np.uint32)
+    return codes, order, first_code, first_idx
+
+
+def _build_lut16(first_code, first_idx, max_len):
+    """lut16[w] = code length of the 16-bit MSB prefix w (0 = > 16)."""
+    lut = np.zeros(1 << 16, dtype=np.uint8)
+    for l in range(min(16, max_len), 0, -1):
+        lo = int(first_code[l]) << (16 - l)
+        hi = (int(first_code[l]) + int(first_idx[l + 1] - first_idx[l])) \
+            << (16 - l)
+        lut[lo:hi] = l
+    return lut
+
+
+def _pack_msb_numpy(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized MSB-first packer: each code lands in at most two
+    64-bit big-endian words; one unbuffered bitwise_or scatter each."""
+    vals = vals.astype(np.uint64)
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    total = int(ends[-1]) if len(ends) else 0
+    nwords = (total + 63) // 64 + 1
+    W = np.zeros(nwords, dtype=np.uint64)
+    w = starts >> 6
+    o = starts & 63
+    sh = 64 - o - lens
+    lo = np.where(sh >= 0, vals << (sh & 63), vals >> ((-sh) & 63))
+    np.bitwise_or.at(W, w, lo)
+    sp = np.maximum(-sh, 0)
+    spill = np.where(sp > 0,
+                     (vals & ((np.uint64(1) << sp.astype(np.uint64)) - 1))
+                     << ((64 - sp) & 63), 0)
+    np.bitwise_or.at(W, w + 1, spill.astype(np.uint64))
+    return W.byteswap().tobytes()[: (total + 7) // 8]
+
+
+def _unpack_msb_fixed(buf: bytes, n: int, width: int) -> np.ndarray:
+    """n fixed-width MSB-first fields from a byte-padded stream."""
+    nbytes = (n * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8, count=nbytes))
+    bits = bits[: n * width].reshape(n, width)
+    return bits @ (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+
+
+def _unpack_payload_numpy(payload, n, first_code, first_idx, max_len,
+                          ssyms):
+    """Fallback canonical decoder (per-symbol loop)."""
+    out = np.empty(n, dtype=np.uint32)
+    arr = np.frombuffer(payload, np.uint8)
+    acc = 0
+    nbits = 0
+    pos = 0
+    nbytes = len(arr)
+    for i in range(n):
+        while nbits <= 56 and pos < nbytes:
+            acc |= int(arr[pos]) << (56 - nbits)
+            pos += 1
+            nbits += 8
+        for l in range(1, max_len + 1):
+            pfx = acc >> (64 - l)
+            j = pfx - int(first_code[l])
+            if 0 <= j < int(first_idx[l + 1] - first_idx[l]):
+                out[i] = ssyms[int(first_idx[l]) + j]
+                acc = (acc << l) & ((1 << 64) - 1)
+                nbits -= l
+                break
+        else:
+            raise ValueError("corrupt shuff stream")
+    return out
 
 
 class Shuff:
@@ -76,8 +177,8 @@ class Shuff:
         counts = np.bincount(values, minlength=max_sym + 1)
         syms = np.flatnonzero(counts)
         sigma = len(syms)
-        lens = code_lengths(counts[syms])
-        codes = _canonical_codes(lens)
+        lens = limited_code_lengths(counts[syms])
+        codes, _, _, _ = canonical_tables(lens)
         max_len = int(lens.max())
 
         out = bytearray()
@@ -85,26 +186,26 @@ class Shuff:
         out += vbyte.encode_u32(sigma)
         out += vbyte.encode_u32(max_len)
         out += interp.encode(syms, sigma, max_sym + 1)
-        w = BitWriter()
-        for l in lens.tolist():
-            w.put(l, 6)
-        # payload: rank-map values to dense ids, gather (code, len), pack
-        rank = np.zeros(max_sym + 1, dtype=np.int64)
-        rank[syms] = np.arange(sigma)
+        prelude_len = len(out)
+        # 6-bit lens, MSB-first, byte-padded
+        out += self._pack(lens.astype(np.uint32),
+                          np.full(sigma, 6, np.int64))
+        # payload: rank-map values to dense ids, pack their codes
+        rank = np.zeros(max_sym + 1, dtype=np.uint32)
+        rank[syms] = np.arange(sigma, dtype=np.uint32)
         ids = rank[values]
-        vl = lens[ids]
-        vc = codes[ids]
-        # MSB-first emission via per-bit scatter (bitio is LSB-first per
-        # word; emit bit-reversed codes so the reader sees MSB first)
-        for i, (c, l) in enumerate(zip(vc.tolist(), vl.tolist())):
-            # reverse bits of c within l
-            r = 0
-            for _ in range(l):
-                r = (r << 1) | (c & 1)
-                c >>= 1
-            w.put(r, l)
-        out += w.flush()
+        out += self._pack(codes[ids], lens[ids])
+        record_stats(prelude_bytes=prelude_len,
+                     encode_bytes=len(out) - prelude_len)
         return bytes(out)
+
+    @staticmethod
+    def _pack(vals, lens):
+        lib = _native()
+        if lib is not None:
+            ids = np.arange(len(vals), dtype=np.uint32)
+            return lib.shuff_pack(ids, vals, lens)
+        return _pack_msb_numpy(vals, lens)
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         max_sym, pos = vbyte.decode_u32(buf, 0)
@@ -112,45 +213,16 @@ class Shuff:
         max_len, pos = vbyte.decode_u32(buf, pos)
         syms, words = interp.decode(buf, sigma, max_sym + 1,
                                     bit_offset=pos * 8)
-        r = BitReader(buf, pos * 8 + words * 32)
-        lens = np.array([r.get(6) for _ in range(sigma)], dtype=np.int64)
-        codes = _canonical_codes(lens)
-        # canonical decode tables sorted by (len, sym)
-        order = np.lexsort((np.arange(sigma), lens))
-        slens = lens[order]
-        scodes = codes[order]
+        pos += words * 4
+        lens = _unpack_msb_fixed(buf[pos:], sigma, 6)
+        pos += (sigma * 6 + 7) // 8
+        _, order, first_code, first_idx = canonical_tables(lens)
         ssyms = np.asarray(syms, dtype=np.uint32)[order]
-        # first code / first index per length
-        first_code = np.full(max_len + 2, 0, dtype=np.int64)
-        first_idx = np.zeros(max_len + 2, dtype=np.int64)
-        count_l = np.bincount(slens, minlength=max_len + 2)
-        idx = 0
-        code = 0
-        for l in range(1, max_len + 1):
-            code <<= 1
-            first_code[l] = code
-            first_idx[l] = idx
-            code += int(count_l[l])
-            idx += int(count_l[l])
-        out = np.empty(n, dtype=np.uint32)
-        acc = 0
-        acc_bits = 0
-        for i in range(n):
-            # fill accumulator to max_len bits (MSB-first)
-            while acc_bits < max_len:
-                acc = (acc << 1) | r.get(1)
-                acc_bits += 1
-            # find the shortest length whose code window contains the prefix
-            for l in range(1, max_len + 1):
-                prefix = acc >> (acc_bits - l)
-                j = prefix - first_code[l]
-                if 0 <= j < count_l[l]:
-                    k = first_idx[l] + j
-                    if slens[k] == l and scodes[k] == prefix:
-                        out[i] = ssyms[k]
-                        acc &= (1 << (acc_bits - l)) - 1
-                        acc_bits -= l
-                        break
-            else:
-                raise ValueError("corrupt shuff stream")
-        return out
+        payload = buf[pos:]
+        lib = _native()
+        if lib is not None:
+            lut16 = _build_lut16(first_code, first_idx, max_len)
+            return lib.shuff_unpack(payload, n, lut16, first_code,
+                                    first_idx, max_len, ssyms)
+        return _unpack_payload_numpy(payload, n, first_code, first_idx,
+                                     max_len, ssyms)

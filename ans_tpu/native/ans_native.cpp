@@ -195,6 +195,74 @@ void ans_mtf(const uint32_t* seq, int64_t n, int64_t sigma,
     delete[] posa;
 }
 
+// ---------------------------------------------------------------- shuff ---
+// Canonical-Huffman payload pack/unpack (hot loops of models/shuff.py;
+// reference counterpart: shuff.hpp:788-894 — re-designed around an
+// MSB-first byte stream + 16-bit LUT, not a translation).
+
+// Pack n codewords MSB-first: codes/lens indexed by the dense symbol
+// ids.  Returns bytes written, or -1 on overflow / length > 32.
+int64_t shuff_pack(const uint32_t* ids, int64_t n, const uint32_t* codes,
+                   const uint8_t* lens, uint8_t* out, int64_t cap) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t id = ids[i];
+        int l = lens[id];
+        if (l == 0 || l > 32) return -1;
+        acc |= (uint64_t)codes[id] << (64 - nbits - l);
+        nbits += l;
+        while (nbits >= 8) {
+            if (pos >= cap) return -1;
+            out[pos++] = (uint8_t)(acc >> 56);
+            acc <<= 8;
+            nbits -= 8;
+        }
+    }
+    if (nbits) {
+        if (pos >= cap) return -1;
+        out[pos++] = (uint8_t)(acc >> 56);
+    }
+    return pos;
+}
+
+// Unpack n symbols from an MSB-first bit stream.  lut16[w] = code length
+// for 16-bit prefix w (0 = longer than 16 bits: scan lengths 17..max).
+// first_code/first_idx are canonical per-length tables (len max_len+2),
+// syms is sorted by (len, code).  Returns bits consumed or -1.
+int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
+                     const uint8_t* lut16, const int64_t* first_code,
+                     const int64_t* first_idx, int64_t max_len,
+                     const uint32_t* syms, uint32_t* out) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t pos = 0;
+    int64_t used = 0;
+    for (int64_t i = 0; i < n; i++) {
+        while (nbits <= 56 && pos < nbytes) {
+            acc |= (uint64_t)in[pos++] << (56 - nbits);
+            nbits += 8;
+        }
+        int l = lut16[acc >> 48];
+        if (l == 0) {
+            for (l = 17; l <= (int)max_len; l++) {
+                int64_t pfx = (int64_t)(acc >> (64 - l));
+                int64_t j = pfx - first_code[l];
+                if (j >= 0 && first_idx[l] + j < first_idx[l + 1]) break;
+            }
+            if (l > (int)max_len) return -1;
+        }
+        int64_t pfx = (int64_t)(acc >> (64 - l));
+        int64_t k = first_idx[l] + (pfx - first_code[l]);
+        out[i] = syms[k];
+        acc <<= l;
+        nbits -= l;
+        used += l;
+    }
+    return used;
+}
+
 }  // extern "C"
 
 // ------------------------------------------------- interpolative coder ---

@@ -46,6 +46,12 @@ class NativeLib:
         c.ans_interp_decode.restype = ct.c_int64
         c.ans_interp_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64,
                                         ct.c_uint64, ct.c_int64, _u64p]
+        c.shuff_pack.restype = ct.c_int64
+        c.shuff_pack.argtypes = [_u32p, ct.c_int64, _u32p, _u8p, _u8p,
+                                 ct.c_int64]
+        c.shuff_unpack.restype = ct.c_int64
+        c.shuff_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u8p,
+                                   _i64p, _i64p, ct.c_int64, _u32p, _u32p]
 
     @classmethod
     def try_load(cls):
@@ -116,6 +122,35 @@ class NativeLib:
         words = self._c.ans_interp_decode(arr, len(arr), n, u, bit_offset,
                                           out)
         return out[:n], int(words)
+
+    # ---- shuff payload ----------------------------------------------------
+
+    def shuff_pack(self, ids, codes, lens) -> bytes:
+        """MSB-first bit-pack of canonical codewords (lens <= 32)."""
+        n = len(ids)
+        cap = 4 * n + int(lens.max()) * 8 + 64
+        out = np.empty(cap, np.uint8)
+        size = self._c.shuff_pack(
+            np.ascontiguousarray(ids, np.uint32), n,
+            np.ascontiguousarray(codes, np.uint32),
+            np.ascontiguousarray(lens, np.uint8), out, cap)
+        if size < 0:
+            raise RuntimeError("native shuff pack overflow or len > 32")
+        return out[:size].tobytes()
+
+    def shuff_unpack(self, payload, n, lut16, first_code, first_idx,
+                     max_len, syms) -> np.ndarray:
+        out = np.empty(n, np.uint32)
+        arr = np.frombuffer(payload, np.uint8)
+        rc = self._c.shuff_unpack(
+            arr, len(arr), n,
+            np.ascontiguousarray(lut16, np.uint8),
+            np.ascontiguousarray(first_code, np.int64),
+            np.ascontiguousarray(first_idx, np.int64), max_len,
+            np.ascontiguousarray(syms, np.uint32), out)
+        if rc < 0:
+            raise ValueError("corrupt shuff stream")
+        return out
 
     # ---- transforms ------------------------------------------------------
 

@@ -95,6 +95,48 @@ def _prefix6(m6, R):
     return _prefixc(m6, R, 6)
 
 
+def _take1(row, idx, B):
+    """Single-row lane-shuffle lookup (caller guarantees idx < 128)."""
+    return jnp.take_along_axis(jnp.broadcast_to(row, (B, 128)), idx,
+                               axis=1)
+
+
+def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR):
+    """Shared per-step stream machinery: batched rank prefix over the
+    NR+NE round masks, ONE window gather, then the high-first merges.
+
+    ms: list of NR renorm masks + NE exception masks, each (R,128) i32.
+    Returns (st after renorm refills, exception low bytes, step_tot)."""
+    CH = NR + NE
+    m6 = jnp.concatenate(ms, axis=0)                    # (CH*R,128)
+    rank, chan_tot = _prefixc(m6, R, CH)
+    bases_l = [jnp.zeros((1, 128), jnp.int32)]
+    for c in range(CH):
+        bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
+    step_tot = bases_l[-1]                              # (1,128)
+    bases = jnp.concatenate(bases_l[:-1], axis=0)       # (CH,128)
+    # one window slice per step; the only scalar extraction
+    row0 = cursor[0, 0] >> 9
+    win = stream_ref[0, pl.ds(row0, WR), :]
+    base_in_win = cursor - (row0 << 9)                      # (1,128)
+    byte_pos = (base_in_win + rank
+                + jnp.repeat(bases, R, axis=0))            # (CH*R,128)
+    q = byte_pos >> 2
+    w = _lookup(win, q, WR, CH * R)
+    byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
+    # merge: renorm rounds high-first, then exception bytes
+    st = st0
+    for j in range(NR):
+        st = jnp.where(ms[j] > 0,
+                       (st << 8) | byte6[j * R:(j + 1) * R], st)
+    low = jnp.zeros((R, 128), jnp.int32)
+    for j in range(NE):
+        c = NR + j
+        low = jnp.where(ms[c] > 0,
+                        (low << 8) | byte6[c * R:(c + 1) * R], low)
+    return st, low, step_tot
+
+
 def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             out_ref, state_scr, cur_scr, *, S, R, TC, T_SEC, Mr, WR,
             log2m, has_exc, packed23, NR, NE):
@@ -131,7 +173,6 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
         # round masks before any read (format invariant); statically
         # empty rounds are skipped: M <= 2^16 bounds renorm reads at 2
         # (NR), the table's max nb bounds exception reads (NE)
-        CH = NR + NE
         ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
               for j in range(NR)]
         w23 = _lookup(w2, slot, Mr, R)
@@ -141,35 +182,9 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             else:
                 nb = jnp.where(valid, _lookup(w3, slot, Mr, R), 0)
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
-        m6 = jnp.concatenate(ms, axis=0)                    # (CH*R,128)
-        rank, chan_tot = _prefixc(m6, R, CH)
-        # round bases: exclusive cumulative totals across the channels
-        bases_l = [jnp.zeros((1, 128), jnp.int32)]
-        for c in range(CH):
-            bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
-        step_tot = bases_l[-1]                              # (1,128)
-        bases = jnp.concatenate(bases_l[:-1], axis=0)       # (CH,128)
-        # one window slice per step; the only scalar extraction
-        row0 = cursor[0, 0] >> 9
-        win = stream_ref[0, pl.ds(row0, WR), :]
-        base_in_win = cursor - (row0 << 9)                      # (1,128)
-        byte_pos = (base_in_win + rank
-                    + jnp.repeat(bases, R, axis=0))            # (CH*R,128)
-        q = byte_pos >> 2
-        w = _lookup(win, q, WR, CH * R)
-        byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
-        # merge: renorm rounds high-first, then exception bytes
-        st = st0
-        for j in range(NR):
-            st = jnp.where(ms[j] > 0,
-                           (st << 8) | byte6[j * R:(j + 1) * R], st)
+        st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
+                                        R, NR, NE, WR)
         if has_exc:
-            low = jnp.zeros((R, 128), jnp.int32)
-            for j in range(NE):
-                c = NR + j
-                low = jnp.where(ms[c] > 0,
-                                (low << 8) | byte6[c * R:(c + 1) * R],
-                                low)
             if packed23:
                 high = jnp.where(
                     nb == 0, jax.lax.shift_right_logical(w23, 2),
@@ -228,6 +243,213 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
     flat = arr_i32.reshape(-1)
     out.reshape(-1)[: len(flat)] = flat
     return out
+
+
+# --------------------------------------------------------------------------
+# pivot-search kernel: slot -> symbol by bitwise binary search
+# --------------------------------------------------------------------------
+#
+# The direct kernel's per-step cost is two _lookup calls over M/128 table
+# rows — it scales with the FRAME, so honest (uncapped) adjust_freqs
+# frames are slow and ans_int's large frames are unusable.  This variant
+# finds the owning symbol by a bitwise binary search over the cumulative
+# bases of the PRESENT symbols (tables.SearchTable): level k probes
+# base[idx | 2^k] — the 2^(d-1-k) candidate pivots of a level live in
+# their own small array, so each probe is a bounded lane-shuffle lookup.
+# Tracking the bracketing base values during the search yields
+# freq = ub - lb and offset = slot - lb for free; only high/nb (fold/msb)
+# or the raw value (sparse ans_int) needs one per-symbol lookup.  Cost
+# scales with sigma (live alphabet), NOT with M — so frames can be the
+# reference's exact sizes (reference: ans_int.hpp:106-161 splits decode
+# entries by table size for the same reason; here the table is gone).
+
+
+def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
+                   S, R, TC, T_SEC, Sr, WR, log2m, M, depth, has_exc,
+                   val_table, packed23, NR, NE, prows):
+    piv_refs = rest[:depth]
+    out_ref = rest[depth]
+    state_scr, cur_scr = rest[depth + 1], rest[depth + 2]
+    sec = pl.program_id(0)
+    tc = pl.program_id(1)
+    mask = (1 << log2m) - 1
+    L = A_L
+
+    @pl.when((sec == 0) & (tc == 0))
+    def _init():
+        state_scr[:] = states_ref[:]
+
+    @pl.when(tc == 0)
+    def _new_section():
+        cur_scr[:] = jnp.zeros((1, 128), jnp.int32)
+
+    lane_global = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+    n_val = n_ref[0, 0]
+    w2 = w2_ref[:]
+    w3 = w3_ref[:] if (has_exc and not packed23) else None
+    pivs = [p[:] for p in piv_refs]
+
+    def step(i, carry):
+        state, cursor = carry            # (R,128) i32, (1,128) i32
+        t = sec * T_SEC + tc * TC + i
+        valid = (t * S + lane_global) < n_val
+        slot = state & mask
+        # search: m doubles in a running-rank form (m = idx >> (k+1)
+        # before level k), so the pivot index is m itself at every level
+        m = jnp.zeros((R, 128), jnp.int32)
+        lb = jnp.zeros((R, 128), jnp.int32)
+        ub = jnp.full((R, 128), M, jnp.int32)
+        for k in range(depth - 1, -1, -1):
+            if prows[k] == 1:
+                pv = _take1(pivs[k], m, R)
+            else:
+                pv = _lookup(pivs[k], m, prows[k], R)
+            take = slot >= pv
+            m = m + m + take.astype(jnp.int32)
+            lb = jnp.where(take, pv, lb)
+            ub = jnp.where(take, ub, pv)
+        f = ub - lb
+        st0 = f * jax.lax.shift_right_logical(state, log2m) + (slot - lb)
+        st0 = jnp.where(valid, st0, state)
+        ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
+              for j in range(NR)]
+        if has_exc or val_table:
+            w23 = _lookup(w2, m, Sr, R)
+        if has_exc:
+            if packed23:
+                nb = jnp.where(valid, w23 & 3, 0)
+            else:
+                nb = jnp.where(valid, _lookup(w3, m, Sr, R), 0)
+            ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
+        st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
+                                        R, NR, NE, WR)
+        if has_exc:
+            if packed23:
+                high = jnp.where(
+                    nb == 0, jax.lax.shift_right_logical(w23, 2),
+                    w23 & ~jnp.int32(3))
+            else:
+                high = w23
+            val = high + low
+        elif val_table:
+            val = w23
+        else:
+            val = m                      # identity: dense id IS the value
+        out_ref[0, pl.ds(i, 1)] = pltpu.bitcast(val, jnp.uint32)[None]
+        return st, cursor + step_tot
+
+    st, cur = jax.lax.fori_loop(
+        0, TC, step, (state_scr[:], cur_scr[:]))
+    state_scr[:] = st
+    cur_scr[:] = cur
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Sr",
+                                    "WR", "SWr", "log2m", "M", "depth",
+                                    "has_exc", "val_table", "packed23",
+                                    "NR", "NE", "prows", "interpret"))
+def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
+                 NSEC, Sr, WR, SWr, log2m, M, depth, has_exc, val_table,
+                 packed23, NR, NE, prows, interpret=False):
+    num_tc = T_SEC // TC
+    out = pl.pallas_call(
+        functools.partial(_kernel_search, S=S, R=R, TC=TC, T_SEC=T_SEC,
+                          Sr=Sr, WR=WR, log2m=log2m, M=M, depth=depth,
+                          has_exc=has_exc, val_table=val_table,
+                          packed23=packed23, NR=NR, NE=NE, prows=prows),
+        grid=(NSEC, num_tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # states
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # n
+            pl.BlockSpec((1, SWr, 128), lambda s, t: (s, 0, 0),
+                         memory_space=pltpu.VMEM),          # stream words
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # w3
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * depth,
+        out_specs=pl.BlockSpec((1, TC, R, 128),
+                               lambda s, t: (s, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NSEC, T_SEC, R, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(states2d, jnp.asarray([[n]], jnp.int32), stream3d, w2, w3, *pivs)
+    return out.reshape(NSEC * T_SEC, S)
+
+
+def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
+                 S: int, T: int, t_sec: int, sec_len, TC: int = 128,
+                 interpret: bool = False):
+    """Stage inputs for the pivot-search kernel.  st: tables.SearchTable.
+    Returns (args, kwargs) for _call_search."""
+    has_exc = st.high is not None
+    val_table = st.val is not None
+    sigma = st.sigma
+    Sr = max(1, -(-sigma // 128))
+    packed23 = False
+    dummy = np.zeros(1, np.uint32)
+    if has_exc:
+        high = st.high.astype(np.uint32)
+        nbv = st.nb.astype(np.uint32)
+        z = nbv == 0
+        if (high[z] < (1 << 30)).all() and (high[~z] & 3 == 0).all():
+            packed23 = True
+            w2 = np.where(z, high << 2, high | nbv).astype(np.uint32)
+            w3 = dummy
+        else:
+            w2 = high
+            w3 = nbv
+    elif val_table:
+        w2 = st.val.astype(np.uint32)
+        w3 = dummy
+    else:
+        w2 = dummy
+        w3 = dummy
+    NR = 2 if st.log2m <= 16 else 3
+    NE = int(st.nb.max()) if has_exc else 0
+    WR = -(-(512 + (NR + NE) * S) // 512) + 1
+    sec_len = np.asarray(sec_len, dtype=np.int64)
+    nsec = len(sec_len)
+    while t_sec % TC:
+        TC //= 2
+    sw_bytes = int(sec_len.max()) + WR * 512
+    sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
+    mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
+    off = 0
+    for s in range(nsec):
+        mat[s, : sec_len[s]] = payload[off:off + sec_len[s]]
+        off += int(sec_len[s])
+    stream3d = mat.view("<i4").reshape(nsec, -1, 128)
+    R = S // 128
+    prows = tuple(max(1, -(-len(p) // 128)) for p in st.pivots)
+    pivs = tuple(jnp.asarray(_pad_rows(p.astype(np.int32), r))
+                 for p, r in zip(st.pivots, prows))
+    args = (jnp.asarray(stream3d),
+            jnp.asarray(states.view(np.int32).reshape(R, 128)),
+            n,
+            jnp.asarray(_pad_rows(w2.view(np.int32), Sr)),
+            jnp.asarray(_pad_rows(w3.view(np.int32),
+                                  Sr if (has_exc and not packed23)
+                                  else 1))) + pivs
+    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=nsec, Sr=Sr, WR=WR,
+              SWr=stream3d.shape[1], log2m=st.log2m, M=st.frame_size,
+              depth=st.depth, has_exc=has_exc, val_table=val_table,
+              packed23=packed23, NR=NR, NE=NE, prows=prows,
+              interpret=interpret)
+    return args, kw
+
+
+def decode_search(payload, states, st, n, *, S, T, t_sec, sec_len,
+                  TC=128, interpret=False):
+    """One-shot host wrapper for the search kernel."""
+    args, kw = stage_search(payload, states, st, n, S=S, T=T,
+                            t_sec=t_sec, sec_len=sec_len, TC=TC,
+                            interpret=interpret)
+    return _call_search(*args, **kw)
 
 
 def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,

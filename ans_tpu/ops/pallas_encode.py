@@ -1,20 +1,28 @@
 """Pallas TPU encode kernel for the lockstep S-lane rANS format (fmt 2).
 
 Encode is a reverse-order scan with data-dependent byte emission.  The
-placement (count-then-place compaction) is a big parallel scatter that
-XLA handles well on HBM; the sequential scan is what the XLA engine does
-poorly (one tiny HBM-round-trip step per symbol row).  So the split is:
+placement (count-then-place compaction) lives in pallas_place.py; the
+sequential scan is here, split into two phases per G-step batch:
 
-  * this kernel runs the scan: S states resident in VMEM across the
-    whole reverse T loop, per-symbol encoder-table lookups via lane
-    shuffles, renormalization, and the state update with the division
-    replaced by an exact Granlund-Montgomery multiply-high
-    (tables.EncTable.magic/mlog2 — no u64, no hardware divide);
-  * per (step, lane) it emits one packed word
-        r0 | r1<<8 | r2<<16 | rc<<24
-    (the <=3 renorm bytes low-byte-first and their count); the XLA
-    placement pass (lane_codec.place_stream) turns those words plus the
-    exception-byte arrays into the final per-round stream.
+  * BATCHED PREFETCH: the encoder-table lookups (freq/base and the
+    Granlund-Montgomery division magic) depend only on the symbols, not
+    on the states, so they are hoisted out of the sequential chain and
+    performed once per batch on (G*R, 128) arrays — the per-instruction
+    issue overhead that dominates thin vector ops is amortized over G
+    steps.  The divide shift ceil(log2 f) is not a table at all: it is
+    read off the float32 exponent of f-1 (exact for f <= 2^22).
+  * THIN SEQUENTIAL CORE: per step only the state-dependent work runs
+    (renormalization compares/shifts, the multiply-high division, the
+    state update), all on (R, 128) registers resident in VMEM.
+
+Per (step, lane) it emits one packed word r0 | r1<<8 | r2<<16 | rc<<24
+(the <=3 renorm bytes low-byte-first and their count); pallas_place
+turns those words plus the exception-byte arrays into the final stream.
+
+Frames up to 2^22 are supported: M <= 2^16 packs freq<<16|base in one
+table word; larger frames use separate freq/base tables (the reference
+splits decode entries by table size for the same reason,
+ans_int.hpp:106-161).
 
 The grid walks T chunks in REVERSE (index maps flip the block order) so
 states flow T-1 -> 0; final states are written on the last grid step.
@@ -66,12 +74,12 @@ def _mulhi32(a, b):
     return a1 * b1 + _lsr(mid1, 16) + _lsr(mid2, 16) + _lsr(cross, 16)
 
 
-def _kernel(wa_ref, n_ref, t1_ref, t2_ref, t3_ref, out_ref, states_ref,
-            state_scr, *, S, R, TC, NT, Msr, log2m):
-    g = pl.program_id(0)
-    chunk = NT - 1 - g                  # walk chunks backwards
+def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, out_ref, states_ref,
+            state_scr, *, S, R, TC, NT, G, Msr, log2m, big_m):
+    gid = pl.program_id(0)
+    chunk = NT - 1 - gid                # walk chunks backwards
 
-    @pl.when(g == 0)
+    @pl.when(gid == 0)
     def _init():
         state_scr[:] = jnp.full((R, 128), A_L, jnp.int32)
 
@@ -80,59 +88,79 @@ def _kernel(wa_ref, n_ref, t1_ref, t2_ref, t3_ref, out_ref, states_ref,
     n_val = n_ref[0, 0]
     t1 = t1_ref[:]
     t2 = t2_ref[:]
-    t3 = t3_ref[:]
+    tb = tb_ref[:] if big_m else None
+    NB = TC // G
 
-    def step(i, state):
-        ri = TC - 1 - i                 # walk rows backwards in chunk
-        t = chunk * TC + ri
-        valid = (t * S + lane_global) < n_val
-        sym = wa_ref[0, pl.ds(ri, 1)][0] & ((1 << 24) - 1)
-        w1 = _lookup(t1, sym, Msr, R)   # freq<<16 | base
-        f = _lsr(w1, 16)
-        base = w1 & 0xFFFF
-        ub = f << (31 - log2m)
-        # renormalize: emit low bytes while state >= ub (<= 3)
-        st = state
-        e0 = valid & (st >= ub)
-        b0 = st & 0xFF
-        st = jnp.where(e0, _lsr(st, 8), st)
-        e1 = valid & (st >= ub)
-        b1 = st & 0xFF
-        st = jnp.where(e1, _lsr(st, 8), st)
-        e2 = valid & (st >= ub)
-        b2 = st & 0xFF
-        st = jnp.where(e2, _lsr(st, 8), st)
-        rc = (e0.astype(jnp.int32) + e1.astype(jnp.int32)
-              + e2.astype(jnp.int32))
-        # q = st / f via GM multiply-high (exact; f == 1 special-cased)
-        magic = _lookup(t2, sym, Msr, R)
-        l = _lookup(t3, sym, Msr, R)
-        mh = _mulhi32(st, magic)
-        q = _lsr(mh + _lsr(st - mh, 1), jnp.maximum(l - 1, 0))
-        q = jnp.where(f == 1, st, q)
-        r = st - q * f
-        newst = (q << log2m) + r + base
-        state = jnp.where(valid, newst, state)
-        out_ref[0, pl.ds(ri, 1)] = (
-            b0 | (b1 << 8) | (b2 << 16) | (rc << 24))[None]
+    def batch(bi, state):
+        rb = NB - 1 - bi                # batches walk backwards
+        blk = wa_ref[0, pl.ds(rb * G, G)]          # (G, R, 128)
+        syms = blk.reshape(G * R, 128) & ((1 << 24) - 1)
+        if big_m:
+            fb = _lookup(t1, syms, Msr, G * R)
+            bb = _lookup(tb, syms, Msr, G * R)
+        else:
+            w1 = _lookup(t1, syms, Msr, G * R)     # freq<<16 | base
+            fb = _lsr(w1, 16)
+            bb = w1 & 0xFFFF
+        mg = _lookup(t2, syms, Msr, G * R)         # GM magic
+        # divide shift = max(ceil(log2 f) - 1, 0) = the f32 exponent of
+        # f-1, clamped (exact: f-1 < 2^22 < 2^24)
+        e = _lsr(pltpu.bitcast((fb - 1).astype(jnp.float32), jnp.int32),
+                 23) - 127
+        shb = jnp.maximum(e, 0)
+        ubb = fb << (31 - log2m)
+
+        words = [None] * G
+        for gg in range(G - 1, -1, -1):            # steps walk backwards
+            ri = rb * G + gg
+            t = chunk * TC + ri
+            valid = (t * S + lane_global) < n_val
+            sl = slice(gg * R, (gg + 1) * R)
+            f = fb[sl]
+            base = bb[sl]
+            magic = mg[sl]
+            sh = shb[sl]
+            ub = ubb[sl]
+            # renormalize: emit low bytes while state >= ub (<= 3)
+            st = state
+            e0 = valid & (st >= ub)
+            b0 = st & 0xFF
+            st = jnp.where(e0, _lsr(st, 8), st)
+            e1 = valid & (st >= ub)
+            b1 = st & 0xFF
+            st = jnp.where(e1, _lsr(st, 8), st)
+            e2 = valid & (st >= ub)
+            b2 = st & 0xFF
+            st = jnp.where(e2, _lsr(st, 8), st)
+            rc = (e0.astype(jnp.int32) + e1.astype(jnp.int32)
+                  + e2.astype(jnp.int32))
+            # q = st / f via GM multiply-high (exact; f == 1 around)
+            mh = _mulhi32(st, magic)
+            q = _lsr(mh + _lsr(st - mh, 1), sh)
+            q = jnp.where(f == 1, st, q)
+            r = st - q * f
+            newst = (q << log2m) + r + base
+            state = jnp.where(valid, newst, state)
+            words[gg] = b0 | (b1 << 8) | (b2 << 16) | (rc << 24)
+        out_ref[0, pl.ds(rb * G, G)] = jnp.stack(words)
         return state
 
-    st = jax.lax.fori_loop(0, TC, step, state_scr[:])
+    st = jax.lax.fori_loop(0, NB, batch, state_scr[:])
     state_scr[:] = st
 
-    @pl.when(g == NT - 1)
+    @pl.when(gid == NT - 1)
     def _flush():
         states_ref[:] = state_scr[:]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "R", "TC", "NT", "Msr", "log2m",
-                                    "interpret"))
-def _call(wa, n, t1, t2, t3, *, S, R, TC, NT, Msr, log2m,
+                   static_argnames=("S", "R", "TC", "NT", "G", "Msr",
+                                    "log2m", "big_m", "interpret"))
+def _call(wa, n, t1, t2, tb, *, S, R, TC, NT, G, Msr, log2m, big_m,
           interpret=False):
     out, states = pl.pallas_call(
-        functools.partial(_kernel, S=S, R=R, TC=TC, NT=NT, Msr=Msr,
-                          log2m=log2m),
+        functools.partial(_kernel, S=S, R=R, TC=TC, NT=NT, G=G, Msr=Msr,
+                          log2m=log2m, big_m=big_m),
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((1, TC, R, 128), lambda g: (NT - 1 - g, 0, 0, 0),
@@ -140,7 +168,7 @@ def _call(wa, n, t1, t2, t3, *, S, R, TC, NT, Msr, log2m,
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # n
             pl.BlockSpec(memory_space=pltpu.VMEM),          # t1
             pl.BlockSpec(memory_space=pltpu.VMEM),          # t2
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # t3
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # tb
         ],
         out_specs=(
             pl.BlockSpec((1, TC, R, 128), lambda g: (NT - 1 - g, 0, 0, 0),
@@ -153,7 +181,7 @@ def _call(wa, n, t1, t2, t3, *, S, R, TC, NT, Msr, log2m,
         ),
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
         interpret=interpret,
-    )(wa, jnp.asarray([[n]], jnp.int32), t1, t2, t3)
+    )(wa, jnp.asarray([[n]], jnp.int32), t1, t2, tb)
     return out.reshape(NT * TC, S), states.reshape(S)
 
 
@@ -164,28 +192,37 @@ def _pad_rows(arr_u32: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
-def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128,
+def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
                 interpret=False):
     """Run the encode scan; returns (packed words (T_pad, S) i32 device,
     final states (S,) u32 device, T_pad).
 
     mapped_ts/nb_ts: (T, S) u32 device arrays (staged symbols).
     """
-    import jax.numpy as jnp
     sigma = len(et.freq)
     Msr = -(-sigma // 128)
     NT = -(-T // TC)
     T_pad = NT * TC
     R = S // 128
+    if G is None:
+        G = 16
+    while TC % G:
+        G //= 2
     del nb_ts  # placement reads exception counts separately
     wa = jnp.pad(mapped_ts.astype(jnp.int32),
                  ((0, T_pad - T), (0, 0))).reshape(NT, TC, R, 128)
-    t1 = (et.freq.astype(np.uint32) << 16) | et.base.astype(np.uint32)
+    big_m = et.log2m > 16
+    if big_m:
+        t1 = et.freq.astype(np.uint32)
+        tb = jnp.asarray(_pad_rows(et.base.astype(np.uint32), Msr))
+    else:
+        t1 = (et.freq.astype(np.uint32) << 16) | et.base.astype(np.uint32)
+        tb = jnp.zeros((1, 128), jnp.int32)
     out, states = _call(
         wa, n,
         jnp.asarray(_pad_rows(t1, Msr)),
         jnp.asarray(_pad_rows(et.magic.astype(np.uint32), Msr)),
-        jnp.asarray(_pad_rows(et.mlog2.astype(np.uint32), Msr)),
-        S=S, R=R, TC=TC, NT=NT, Msr=Msr, log2m=et.log2m,
-        interpret=interpret)
+        tb,
+        S=S, R=R, TC=TC, NT=NT, G=G, Msr=Msr, log2m=et.log2m,
+        big_m=big_m, interpret=interpret)
     return out, states, T_pad

@@ -45,7 +45,12 @@ class EncTable:
 
 @dataclass(frozen=True)
 class DecTable:
-    """Per-slot decode table (index = state & (M-1)); SoA layout."""
+    """Per-slot decode table (index = state & (M-1)); SoA layout.
+
+    Also carries the per-symbol inputs (nfreqs/sym_high/sym_nb) so the
+    engine can derive the search-table representation (SearchTable) for
+    the pivot-search Pallas kernel without re-threading every call site.
+    """
 
     freq: np.ndarray  # u32 (M,)
     offset: np.ndarray  # u32 (M,) slot - base[sym]
@@ -55,6 +60,63 @@ class DecTable:
     nb: np.ndarray | None  # u32 (M,) exception bytes to read
     frame_size: int
     log2m: int
+    nfreqs: np.ndarray | None = None  # i64 (sigma,) scaled freqs
+    sym_high: np.ndarray | None = None  # u32 (sigma,)
+    sym_nb: np.ndarray | None = None  # u32 (sigma,)
+
+
+@dataclass(frozen=True)
+class SearchTable:
+    """Decode table for the pivot-search kernel: slot -> symbol by
+    bitwise binary search over the cumulative-frequency bases of the
+    *present* (freq > 0) symbols, so kernel cost scales with the live
+    alphabet size instead of the frame size M.  The search tracks the
+    bracketing base values, so freq and offset fall out for free; only
+    fold/msb reconstruction data (high/nb) or a raw-value table needs a
+    per-dense-symbol lookup.
+
+    pivots[k] holds base[m * 2^(k+1) + 2^k] for level k of the search
+    (k = depth-1 is probed first), padded with M past the live alphabet.
+    """
+
+    pivots: tuple  # level k -> (P >> (k+1),) i32 base values
+    depth: int
+    val: np.ndarray | None  # u32 (sigma,) raw value per dense id
+    high: np.ndarray | None  # u32 (sigma,)
+    nb: np.ndarray | None  # u32 (sigma,)
+    sigma: int  # dense (present-symbol) count
+    frame_size: int
+    log2m: int
+
+
+def build_search_table(nfreqs: np.ndarray,
+                       high_of_sym: np.ndarray | None = None,
+                       nb_of_sym: np.ndarray | None = None) -> SearchTable:
+    nf = np.asarray(nfreqs, dtype=np.int64)
+    M = int(nf.sum())
+    log2m = _check_frame(M)
+    nz = np.flatnonzero(nf)
+    sigma = len(nz)
+    depth = (sigma - 1).bit_length() if sigma > 1 else 0
+    P = 1 << depth
+    base_pad = np.full(P, M, dtype=np.int32)
+    base_pad[:sigma] = np.concatenate(
+        ([0], np.cumsum(nf[nz])[:-1])).astype(np.int32)
+    pivots = []
+    for k in range(depth):
+        idxs = (np.arange(P >> (k + 1)) << (k + 1)) + (1 << k)
+        pivots.append(base_pad[idxs])
+    if high_of_sym is not None:
+        high = np.asarray(high_of_sym, dtype=np.uint32)[nz]
+        nb = np.asarray(nb_of_sym, dtype=np.uint32)[nz]
+        val = None
+    else:
+        high = nb = None
+        # identity when every symbol id 0..sigma-1 is present
+        val = None if sigma == len(nf) else nz.astype(np.uint32)
+    return SearchTable(pivots=tuple(pivots), depth=depth, val=val,
+                       high=high, nb=nb, sigma=sigma, frame_size=M,
+                       log2m=log2m)
 
 
 def _check_frame(M: int) -> int:
@@ -99,9 +161,12 @@ def build_dec_table(nfreqs: np.ndarray,
     freq = np.repeat(nf, nf).astype(np.uint32)
     base = np.concatenate(([0], np.cumsum(nf)[:-1]))
     offset = (np.arange(M, dtype=np.int64) - base[sym]).astype(np.uint32)
-    high = nb = None
+    high = nb = sym_high = sym_nb = None
     if high_of_sym is not None:
-        high = np.asarray(high_of_sym, dtype=np.uint32)[sym]
-        nb = np.asarray(nb_of_sym, dtype=np.uint32)[sym]
+        sym_high = np.asarray(high_of_sym, dtype=np.uint32)
+        sym_nb = np.asarray(nb_of_sym, dtype=np.uint32)
+        high = sym_high[sym]
+        nb = sym_nb[sym]
     return DecTable(freq=freq, offset=offset, sym=sym, high=high, nb=nb,
-                    frame_size=M, log2m=log2m)
+                    frame_size=M, log2m=log2m, nfreqs=nf,
+                    sym_high=sym_high, sym_nb=sym_nb)

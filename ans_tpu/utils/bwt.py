@@ -48,11 +48,14 @@ def bwt(seq: np.ndarray) -> tuple[np.ndarray, int]:
 
 def mtf(seq: np.ndarray, sigma: int | None = None) -> np.ndarray:
     """Move-to-front ranks (reference generate_bwtmtf.cpp:111-118,
-    164-174).  Sequential by nature; the list is small (alphabet size),
-    so a compact Python loop over a numpy table is used."""
+    164-174).  Sequential by nature; runs in the native backend
+    (ans_native.cpp ans_mtf) when built, Python loop otherwise."""
     s = np.asarray(seq, dtype=np.int64)
     if sigma is None:
         sigma = int(s.max()) + 1 if len(s) else 0
+    from .. import native
+    if native.lib is not None and len(s):
+        return native.lib.mtf(s.astype(np.uint32), sigma)
     table = list(range(sigma))
     pos = {v: i for i, v in enumerate(table)}
     out = np.empty(len(s), dtype=np.uint32)

@@ -82,6 +82,36 @@ def test_pallas_place_matches_scatter():
     np.testing.assert_array_equal(stream, np.asarray(ps[: int(pt)]))
 
 
+def test_pallas_encode_big_frame():
+    """Frames above 2^16 use split freq/base tables (big_m path) and
+    3 renorm rounds; must still match the XLA engine byte-for-byte."""
+    rng = np.random.default_rng(3)
+    sigma = 4096
+    values = rng.integers(0, sigma, size=30000).astype(np.uint32)
+    nfreqs = np.full(sigma, 32, dtype=np.uint64)  # M = 2^17
+    et = tables.build_enc_table(nfreqs)
+    assert et.log2m == 17
+    S, n = 128, len(values)
+    T = lane_codec.lane_steps(n, S)
+    pad = T * S - n
+    m_ts = jnp.asarray(np.pad(values, (0, pad)).reshape(T, S))
+    k_ts = jnp.zeros((T, S), jnp.uint32)
+    b_ts = jnp.zeros((T, S, 3), jnp.uint8)
+    xs, xt, xstates, _ = lane_codec.encode_lanes(
+        m_ts, k_ts, b_ts, jnp.int32(n),
+        jnp.asarray(et.freq), jnp.asarray(et.base), jnp.asarray(et.ub),
+        S=S, T=T, log2m=et.log2m)
+    packed, pstates, _ = pallas_encode.encode_scan(
+        m_ts, k_ts, jnp.int32(n), et, S=S, T=T, TC=32, interpret=True)
+    ps, pt, _ = lane_codec.place_stream_packed(
+        packed[:T], k_ts, b_ts, jnp.int32(n), S=S, T=T)
+    assert int(pt) == int(xt)
+    np.testing.assert_array_equal(
+        np.asarray(pstates).view(np.uint32), np.asarray(xstates))
+    np.testing.assert_array_equal(np.asarray(ps[: int(xt)]),
+                                  np.asarray(xs[: int(xt)]))
+
+
 def test_pallas_encode_single_symbol_freq():
     """Degenerate-ish model: one dominant symbol (freq near M) plus a
     rare one — exercises large f and the magic division edge."""

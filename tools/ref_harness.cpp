@@ -21,6 +21,7 @@
 #include "ans_fold.hpp"
 #include "ans_int.hpp"
 #include "ans_msb.hpp"
+#include "ans_reorder_fold.hpp"
 
 using clk = std::chrono::high_resolution_clock;
 
@@ -104,6 +105,26 @@ int main(int argc, char** argv) {
         },
         [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
           ans_msb_decompress(d, m, s, c);
+        },
+        in);
+  if (method == "all" || method == "rfold1")
+    run(
+        "ANSrfold-1",
+        [](uint8_t* d, size_t c, const uint32_t* s, size_t m) {
+          return ans_reorder_fold_compress<1>(d, c, s, m);
+        },
+        [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
+          ans_reorder_fold_decompress<1>(d, m, s, c);
+        },
+        in);
+  if (method == "all" || method == "rfold2")
+    run(
+        "ANSrfold-2",
+        [](uint8_t* d, size_t c, const uint32_t* s, size_t m) {
+          return ans_reorder_fold_compress<2>(d, c, s, m);
+        },
+        [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
+          ans_reorder_fold_decompress<2>(d, m, s, c);
         },
         in);
   if (method == "all" || method == "int")
