@@ -31,10 +31,11 @@ from . import config, framing
 
 U32 = jnp.uint32
 
-# default frame cap for lane codecs: the Pallas table-lookup cost scales
-# with the frame, so cap at 2^14 (~0.2-0.4% compression give-up vs the
-# uncapped reference search; pass max_frame=None for the exact model)
-DEFAULT_MAX_FRAME = 1 << 14
+# default frame cap for lane codecs: None = the reference's exact
+# adjust_freqs search (the pivot-search decode kernel's cost scales with
+# sigma, not the frame, so the round-1 2^14 cap is no longer needed;
+# pass max_frame to trade size for smaller tables explicitly)
+DEFAULT_MAX_FRAME = None
 
 
 # --------------------------------------------------------------------------

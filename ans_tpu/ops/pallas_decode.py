@@ -266,7 +266,7 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
 
 def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                    S, R, TC, T_SEC, Sr, WR, log2m, M, depth, has_exc,
-                   val_table, packed23, NR, NE, prows):
+                   val_table, packed23, NR, NE, prows, ppack, w2pack):
     piv_refs = rest[:depth]
     out_ref = rest[depth]
     state_scr, cur_scr = rest[depth + 1], rest[depth + 2]
@@ -301,10 +301,15 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
         lb = jnp.zeros((R, 128), jnp.int32)
         ub = jnp.full((R, 128), M, jnp.int32)
         for k in range(depth - 1, -1, -1):
+            # u16-paired pivot rows halve the deep levels' shuffle count
+            idx = jax.lax.shift_right_logical(m, 1) if ppack[k] else m
             if prows[k] == 1:
-                pv = _take1(pivs[k], m, R)
+                pv = _take1(pivs[k], idx, R)
             else:
-                pv = _lookup(pivs[k], m, prows[k], R)
+                pv = _lookup(pivs[k], idx, prows[k], R)
+            if ppack[k]:
+                pv = jax.lax.shift_right_logical(
+                    pv, (m & 1) << 4) & 0xFFFF
             take = slot >= pv
             m = m + m + take.astype(jnp.int32)
             lb = jnp.where(take, pv, lb)
@@ -315,7 +320,13 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
         ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
               for j in range(NR)]
         if has_exc or val_table:
-            w23 = _lookup(w2, m, Sr, R)
+            if w2pack:
+                w23 = _lookup(w2, jax.lax.shift_right_logical(m, 1),
+                              Sr, R)
+                w23 = jax.lax.shift_right_logical(
+                    w23, (m & 1) << 4) & 0xFFFF
+            else:
+                w23 = _lookup(w2, m, Sr, R)
         if has_exc:
             if packed23:
                 nb = jnp.where(valid, w23 & 3, 0)
@@ -349,16 +360,19 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Sr",
                                     "WR", "SWr", "log2m", "M", "depth",
                                     "has_exc", "val_table", "packed23",
-                                    "NR", "NE", "prows", "interpret"))
+                                    "NR", "NE", "prows", "ppack",
+                                    "w2pack", "interpret"))
 def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
                  NSEC, Sr, WR, SWr, log2m, M, depth, has_exc, val_table,
-                 packed23, NR, NE, prows, interpret=False):
+                 packed23, NR, NE, prows, ppack, w2pack,
+                 interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel_search, S=S, R=R, TC=TC, T_SEC=T_SEC,
                           Sr=Sr, WR=WR, log2m=log2m, M=M, depth=depth,
                           has_exc=has_exc, val_table=val_table,
-                          packed23=packed23, NR=NR, NE=NE, prows=prows),
+                          packed23=packed23, NR=NR, NE=NE, prows=prows,
+                          ppack=ppack, w2pack=w2pack),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -414,6 +428,10 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
     sec_len = np.asarray(sec_len, dtype=np.int64)
     nsec = len(sec_len)
+    R = S // 128
+    # output block is (TC, R, 128) i32, double-buffered: cap its VMEM
+    while TC * R * 512 * 2 > (6 << 20) and TC > 8:
+        TC //= 2
     while t_sec % TC:
         TC //= 2
     sw_bytes = int(sec_len.max()) + WR * 512
@@ -424,22 +442,40 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
         mat[s, : sec_len[s]] = payload[off:off + sec_len[s]]
         off += int(sec_len[s])
     stream3d = mat.view("<i4").reshape(nsec, -1, 128)
-    R = S // 128
-    prows = tuple(max(1, -(-len(p) // 128)) for p in st.pivots)
-    pivs = tuple(jnp.asarray(_pad_rows(p.astype(np.int32), r))
-                 for p, r in zip(st.pivots, prows))
+
+    def pack16(vals):
+        v = np.asarray(vals, dtype=np.uint32)
+        if len(v) & 1:
+            v = np.concatenate([v, v[-1:]])
+        return (v[0::2] | (v[1::2] << np.uint32(16))).astype(np.uint32)
+
+    # u16-pair the deep pivot levels (and w2) to halve shuffle rows
+    can16 = st.frame_size <= 0xFFFF
+    ppack = tuple(can16 and len(p) >= 256 for p in st.pivots)
+    prows, pivs = [], []
+    for p, pk in zip(st.pivots, ppack):
+        arr = pack16(p) if pk else p.astype(np.uint32)
+        r = max(1, -(-len(arr) // 128))
+        prows.append(r)
+        pivs.append(jnp.asarray(_pad_rows(arr.view(np.int32), r)))
+    prows, pivs = tuple(prows), tuple(pivs)
+    w2pack = bool((has_exc and packed23 or val_table) and sigma >= 256
+                  and int(w2.max()) <= 0xFFFF)
+    if w2pack:
+        w2 = pack16(w2)
+        Sr = max(1, -(-len(w2) // 128))
     args = (jnp.asarray(stream3d),
             jnp.asarray(states.view(np.int32).reshape(R, 128)),
             n,
             jnp.asarray(_pad_rows(w2.view(np.int32), Sr)),
             jnp.asarray(_pad_rows(w3.view(np.int32),
                                   Sr if (has_exc and not packed23)
-                                  else 1))) + pivs
+                                  else 1))) + tuple(pivs)
     kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=nsec, Sr=Sr, WR=WR,
               SWr=stream3d.shape[1], log2m=st.log2m, M=st.frame_size,
               depth=st.depth, has_exc=has_exc, val_table=val_table,
-              packed23=packed23, NR=NR, NE=NE, prows=prows,
-              interpret=interpret)
+              packed23=packed23, NR=NR, NE=NE, prows=prows, ppack=ppack,
+              w2pack=w2pack, interpret=interpret)
     return args, kw
 
 
@@ -454,10 +490,13 @@ def decode_search(payload, states, st, n, *, S, T, t_sec, sec_len,
 
 def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
           S: int, T: int, has_exc: bool, t_sec: int, sec_len,
-          TC: int = 128, interpret: bool = False):
+          TC: int = 128, sw_bytes: int | None = None,
+          interpret: bool = False):
     """Stage all kernel inputs on device; returns (args, kwargs) for
     _call.  Separated from decode() so callers can amortize the staging
-    (PreparedDecoder / production serving)."""
+    (PreparedDecoder / production serving).  sw_bytes overrides the
+    section-buffer size (block_runtime passes the mesh-wide max so all
+    devices share one static shape)."""
     M = dt.frame_size
     Mr = -(-M // 128)
     w1 = (dt.freq.astype(np.uint32) << 16) | dt.offset.astype(np.uint32)
@@ -487,11 +526,15 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     nsec = len(sec_len)
     # TC must divide t_sec exactly (grid step t = sec*T_SEC + tc*TC + i
     # must match the encoder's section cuts)
+    R = S // 128
+    while TC * R * 512 * 2 > (6 << 20) and TC > 8:
+        TC //= 2
     while t_sec % TC:
         TC //= 2
     t_sec_pad = t_sec
-    sw_bytes = int(sec_len.max()) + WR * 512
-    sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)  # bucketed
+    if sw_bytes is None:
+        sw_bytes = int(sec_len.max()) + WR * 512
+        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)  # bucketed
     mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
     off = 0
     for s in range(nsec):
