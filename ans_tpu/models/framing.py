@@ -63,6 +63,18 @@ def overhead_bytes(S: int, nsec: int = 1) -> int:
     return 12 + 4 * nsec + 4 * S
 
 
+def sections_at(step_base: np.ndarray, total: int, T: int,
+                t_sec: int) -> np.ndarray:
+    """Section byte lengths for a FIXED t_sec (the block runtime forces
+    one t_sec across all mesh devices so the decode grid is uniform)."""
+    if T == 0:
+        return np.array([total], dtype=np.int64)
+    bounds = np.append(step_base, total)
+    cuts = np.arange(0, T, t_sec)
+    ends = np.minimum(cuts + t_sec, T)
+    return (bounds[ends] - bounds[cuts]).astype(np.int64)
+
+
 def choose_sections(step_base: np.ndarray, total: int, T: int,
                     cap_bytes: int = 3 << 20, quantum: int = 32):
     """Pick t_sec (multiple of `quantum`) so every aligned section of

@@ -397,9 +397,11 @@ def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
 
 def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
                  S: int, T: int, t_sec: int, sec_len, TC: int = 128,
-                 interpret: bool = False):
+                 sw_bytes: int | None = None, interpret: bool = False):
     """Stage inputs for the pivot-search kernel.  st: tables.SearchTable.
-    Returns (args, kwargs) for _call_search."""
+    Returns (args, kwargs) for _call_search.  sw_bytes overrides the
+    section-buffer size (block_runtime passes the mesh-wide max so all
+    devices share one static shape)."""
     has_exc = st.high is not None
     val_table = st.val is not None
     sigma = st.sigma
@@ -434,8 +436,9 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
         TC //= 2
     while t_sec % TC:
         TC //= 2
-    sw_bytes = int(sec_len.max()) + WR * 512
-    sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
+    if sw_bytes is None:
+        sw_bytes = int(sec_len.max()) + WR * 512
+        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
     mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
     off = 0
     for s in range(nsec):

@@ -192,6 +192,23 @@ def _pad_rows(arr_u32: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
+def choose_g(sigma: int, S: int, log2m: int, TC: int = 128,
+             G: int = 16) -> int:
+    """Batch factor G for the scan: the batched prefetch materializes
+    ceil(sigma/128) lane-shuffle terms per table over (G*R, 128) i32
+    arrays, so G must shrink for large alphabets to keep the scoped
+    VMEM stack under Mosaic's 16MB limit (measured OOM at 17.1MB for
+    sigma=5120, G=16, S=2048, big_m)."""
+    R = S // 128
+    Msr = max(1, -(-sigma // 128))
+    ntab = 3 if log2m > 16 else 2
+    while G > 1 and Msr * G * R * 512 * ntab > (6 << 20):
+        G //= 2
+    while TC % G:
+        G //= 2
+    return G
+
+
 def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
                 interpret=False):
     """Run the encode scan; returns (packed words (T_pad, S) i32 device,
@@ -204,10 +221,7 @@ def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
     NT = -(-T // TC)
     T_pad = NT * TC
     R = S // 128
-    if G is None:
-        G = 16
-    while TC % G:
-        G //= 2
+    G = choose_g(sigma, S, et.log2m, TC, 16 if G is None else G)
     del nb_ts  # placement reads exception counts separately
     wa = jnp.pad(mapped_ts.astype(jnp.int32),
                  ((0, T_pad - T), (0, 0))).reshape(NT, TC, R, 128)

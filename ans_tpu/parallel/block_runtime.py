@@ -14,12 +14,31 @@ the reference is single-threaded):
   * compressed sections are gathered back in device order, giving
     deterministic, original-order reassembly.
 
-Wire format ("ATFB" container): see docs/FORMAT.md section 3.
+Two per-device engines:
+
+  * "pallas" — the production kernels (ops.pallas_encode/_place/_decode)
+    called inside shard_map, one SPMD program per stage.  All static
+    kernel parameters (section count, buffer rows, TC) are forced
+    uniform across the mesh: t_sec is the minimum of the per-device
+    section choices and the stream buffers are sized to the mesh-wide
+    maximum, so every device runs the same compiled grid.
+  * "xla" — the portable lax.scan engine (lane_codec), used off-TPU.
+
+`engine="auto"` picks pallas on a real TPU backend, xla elsewhere;
+`interpret=True` runs the pallas kernels in interpreter mode so the
+multi-chip fast path is testable on the virtual CPU mesh.
+
+Methods: ANS / ANSmsb / ANSfold-f / ANSrfold-f / ANSsint-H / ANSsmsb-H
+(the rfold value remap is a host pass over the global counts, exactly
+one extra psum'd histogram; reference: ans_reorder_fold.hpp:69-385).
+
+Wire format ("ATFB" container v2): see docs/FORMAT.md section 3.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 import struct
 
 import jax
@@ -27,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..constants import MSB_MAX_SIGMA, fold_max_sigma
+from ..constants import (MSB_MAX_SIGMA, fold_max_sigma, fold_threshold)
 from ..ops import lane_codec, mappings_jax as mj, tables
 from ..reference_model import mappings as map_np
 from ..reference_model.model import (adjust_freqs, load_prelude,
@@ -37,7 +56,8 @@ from ..models import config, framing
 
 MAGIC = 0x41544642  # "BFTA" little-endian -> "ATFB"
 
-KINDS = {"int": 0, "msb": 1, "fold": 2}
+KINDS = {"int": 0, "msb": 1, "fold": 2, "rfold": 3}
+_KIND_NAMES = {v: k for k, v in KINDS.items()}
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
@@ -48,27 +68,44 @@ def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
 
 
 def _parse_method(method: str):
+    """-> (kind, fidelity, h_approx)."""
     if method == "ANS":
-        return "int", 0
+        return "int", 0, 1
     if method == "ANSmsb":
-        return "msb", 0
-    if method.startswith("ANSfold-"):
-        return "fold", int(method.split("-")[1])
-    raise ValueError(f"blocked runtime supports ANS/ANSmsb/ANSfold-f, "
-                     f"not {method!r}")
+        return "msb", 0, 1
+    for prefix, kind in (("ANSfold-", "fold"), ("ANSrfold-", "rfold"),
+                         ("ANSsint-", "int"), ("ANSsmsb-", "msb")):
+        if method.startswith(prefix):
+            v = int(method[len(prefix):])
+            if kind in ("fold", "rfold"):
+                return kind, v, 1
+            return kind, 0, v
+    raise ValueError(f"blocked runtime supports ANS/ANSmsb/ANSfold-f/"
+                     f"ANSrfold-f/ANSsint-H/ANSsmsb-H, not {method!r}")
 
 
 class BlockCodec:
     """Shared-model, block-parallel encode/decode over a mesh."""
 
     def __init__(self, method: str = "ANSfold-2", mesh: Mesh | None = None,
-                 lanes: int | None = None, h_approx: int = 1):
-        self.kind, self.fidelity = _parse_method(method)
+                 lanes: int | None = None, h_approx: int | None = None,
+                 engine: str = "auto", interpret: bool | None = None):
+        self.kind, self.fidelity, h_m = _parse_method(method)
+        self.h_approx = h_approx if h_approx is not None else h_m
         self.method = method
         self.mesh = mesh or make_mesh()
         self.lanes = lanes
-        self.h_approx = h_approx
         self.axis = self.mesh.axis_names[0]
+        env = os.environ.get("ANS_TPU_BLOCK_ENGINE")
+        if env:
+            engine = env
+        if engine == "auto":
+            engine = ("pallas" if jax.default_backend() == "tpu"
+                      and not os.environ.get("ANS_TPU_NO_PALLAS")
+                      else "xla")
+        self.engine = engine
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
         self._programs = {}  # (stage, *static_params) -> jitted program
 
     def _cached(self, key, build):
@@ -76,19 +113,20 @@ class BlockCodec:
             self._programs[key] = build()
         return self._programs[key]
 
-    # -- device programs ---------------------------------------------------
+    # -- shared-model front end (device psum histogram) --------------------
 
     @functools.cached_property
     def _sigma_cap(self):
         if self.kind == "msb":
             return MSB_MAX_SIGMA
-        if self.kind == "fold":
+        if self.kind in ("fold", "rfold"):
             return fold_max_sigma(self.fidelity)
         return None
 
     def _map_hist_program(self, sigma_cap: int):
         """(D, B) u32 -> mapped/k/b sharded + replicated global histogram."""
-        kind, fid, axis = self.kind, self.fidelity, self.axis
+        kind = "fold" if self.kind == "rfold" else self.kind
+        fid, axis = self.fidelity, self.axis
 
         def body(vals):
             v = vals[0]
@@ -110,6 +148,8 @@ class BlockCodec:
                 body, mesh=self.mesh,
                 in_specs=(P(self.axis),),
                 out_specs=(P(self.axis), P(self.axis), P(self.axis), P()))))
+
+    # -- XLA (portable) per-device bodies ----------------------------------
 
     def _encode_program(self, S, T, log2m):
         axis = self.axis
@@ -144,13 +184,110 @@ class BlockCodec:
                           P(), P(), P(), P(), P()),
                 out_specs=P(axis))))
 
+    # -- Pallas per-device bodies (production kernels inside shard_map) ----
+
+    def _scan_program(self, *, B, S, T, TCe, NT, G, Msr, log2m, big_m):
+        """map outputs -> packed scan words + totals, all device-resident.
+        Returns per-device (packed (T,S) i32, nb (T,S) i32, excw (T,S)
+        i32, states (S,) u32-bits, round_base (6T,), total ())."""
+        from ..ops import pallas_encode
+        axis, interp = self.axis, self.interpret
+        pad, T_pad, R = T * S - B, NT * TCe, S // 128
+
+        def body(mapped, k, b, n_sec, t1, t2, tb):
+            n = n_sec[0]
+            m_ts = jnp.pad(mapped[0].astype(jnp.int32),
+                           (0, pad)).reshape(T, S)
+            wa = jnp.pad(m_ts, ((0, T_pad - T), (0, 0))).reshape(
+                NT, TCe, R, 128)
+            out, states = pallas_encode._call(
+                wa, n, t1, t2, tb, S=S, R=R, TC=TCe, NT=NT, G=G,
+                Msr=Msr, log2m=log2m, big_m=big_m, interpret=interp)
+            packed = out[:T]
+            nb_ts = jnp.pad(k[0].astype(jnp.int32), (0, pad)).reshape(T, S)
+            bb = b[0].astype(jnp.int32)
+            excw = jnp.pad(bb[:, 0] | (bb[:, 1] << 8) | (bb[:, 2] << 16),
+                           (0, pad)).reshape(T, S)
+            round_base, total = lane_codec.encode_totals_impl(
+                packed, nb_ts, n, S=S, T=T)
+            return (packed[None], nb_ts[None], excw[None], states[None],
+                    round_base[None], total[None])
+
+        key = ("pscan", B, S, T, TCe, NT, G, Msr, log2m, big_m, interp)
+        return self._cached(key, lambda: jax.jit(_shard_map.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(axis),) * 6)))
+
+    def _place_program(self, *, S, T, t_sec, NSEC, SWr, WIN, G, NR, NE):
+        from ..ops import pallas_place
+        axis, interp = self.axis, self.interpret
+        R = S // 128
+        T_stage = NSEC * t_sec
+        NTB = T_stage // G
+
+        def stage4(x):
+            return jnp.pad(x, ((0, T_stage - T), (0, 0))).reshape(
+                NTB, G, R, 128)
+
+        def body(packed, nb, excw, n_sec):
+            out = pallas_place._call(
+                stage4(packed[0]), stage4(nb[0]), stage4(excw[0]),
+                n_sec[0], S=S, R=R, G=G, T_SEC=t_sec, NSEC=NSEC,
+                NTB=NTB, SWr=SWr, WIN=WIN, NR=NR, NE=NE,
+                interpret=interp)
+            return out[None]
+
+        key = ("pplace", S, T, t_sec, NSEC, SWr, WIN, G, NR, NE, interp)
+        return self._cached(key, lambda: jax.jit(_shard_map.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis))))
+
+    def _pallas_decode_program(self, fn, kw, n_tables):
+        axis = self.axis
+        kw = dict(kw)
+
+        def body(stream3d, states2d, n_sec, *tabs):
+            out = fn(stream3d[0], states2d[0], n_sec[0], *tabs, **kw)
+            return out[None]
+
+        key = ("pdec", fn.__name__, tuple(sorted(kw.items())), n_tables)
+        return self._cached(key, lambda: jax.jit(_shard_map.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)) + (P(),) * n_tables,
+            out_specs=P(axis))))
+
     # -- host orchestration ------------------------------------------------
+
+    def _reorder_remap(self, values: np.ndarray):
+        """rfold host pass: map the thres most frequent raw values to the
+        low ids (reference ans_reorder_fold.hpp:craft_reorder).  Returns
+        (remapped values, header bytes)."""
+        thres = fold_threshold(self.fidelity)
+        counts = np.bincount(values)
+        present = np.flatnonzero(counts)
+        header = bytearray()
+        if len(present) < thres:
+            header += (0).to_bytes(4, "little")
+            return values, bytes(header)
+        order = np.lexsort((present, -counts[present]))
+        top = present[order[:thres]].astype(np.uint32)
+        mapping = (np.arange(len(counts), dtype=np.uint32)
+                   + np.uint32(thres))
+        mapping[top] = np.arange(thres, dtype=np.uint32)
+        header += (1).to_bytes(4, "little")
+        header += top.astype("<u4").tobytes()
+        return mapping[values], bytes(header)
 
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         n = len(values)
         if n == 0:
             raise ValueError("cannot encode an empty sequence")
+        header_extra = b""
+        if self.kind == "rfold":
+            values, header_extra = self._reorder_remap(values)
         D = self.mesh.devices.size
         B = -(-n // D)
         vals = np.zeros(D * B, dtype=np.uint32)
@@ -169,7 +306,25 @@ class BlockCodec:
 
         S = self.lanes or config.default_lane_count(B)
         T = lane_codec.lane_steps(B, S)
-        # stage (T, S) per section on device
+
+        out = bytearray()
+        out += struct.pack("<IBBBBII", MAGIC, 2, KINDS[self.kind],
+                           self.fidelity, self.h_approx, n, D)
+        out += header_extra
+        out += struct.pack("<I", len(prelude)) + prelude
+
+        if self.engine == "pallas" and self._encode_pallas_ok(et, S):
+            secs_np, states, t_sec, sec_lens = self._encode_pallas(
+                mapped, k, b, n_sec, et, S=S, T=T)
+            from ..ops import pallas_place
+            for d in range(D):
+                stream = pallas_place.sections_to_stream(
+                    secs_np[d], sec_lens[d])
+                sec = framing.pack(states[d], stream, t_sec, sec_lens[d])
+                out += struct.pack("<I", len(sec)) + sec
+            return bytes(out)
+
+        # portable XLA engine
         pad = T * S - B
         mapped_ts = jnp.pad(mapped, ((0, 0), (0, pad))).reshape(D, T, S)
         k_ts = jnp.pad(k, ((0, 0), (0, pad))).reshape(D, T, S)
@@ -181,11 +336,6 @@ class BlockCodec:
         totals = np.asarray(totals)
         states = np.asarray(states)
         step_base = np.asarray(step_base)
-
-        out = bytearray()
-        out += struct.pack("<IBBBBII", MAGIC, 1, KINDS[self.kind],
-                           self.fidelity, 0, n, D)
-        out += struct.pack("<I", len(prelude)) + prelude
         for d in range(D):
             t_sec, sec_len = framing.choose_sections(
                 step_base[d], int(totals[d]), T)
@@ -195,26 +345,109 @@ class BlockCodec:
             out += struct.pack("<I", len(sec)) + sec
         return bytes(out)
 
+    def _encode_pallas_ok(self, et, S: int) -> bool:
+        M = et.frame_size
+        return (S >= 128 and S % 128 == 0 and 2 <= M <= (1 << 22)
+                and len(et.freq) <= (1 << 13)
+                and int(et.freq.max()) < M)
+
+    def _encode_pallas(self, mapped, k, b, n_sec, et, *, S, T):
+        """Scan + totals + placement through the production kernels, one
+        SPMD program per stage; returns (sections (D,NSEC,SWr,128) i32
+        host, states (D,S) u32 host, t_sec, per-device sec_len)."""
+        from ..ops import pallas_encode
+        D = self.mesh.devices.size
+        R = S // 128
+        sigma = len(et.freq)
+        Msr = -(-sigma // 128)
+        TCe = 128
+        NT = -(-T // TCe)
+        G = pallas_encode.choose_g(sigma, S, et.log2m, TCe)
+        big_m = et.log2m > 16
+        if big_m:
+            t1 = et.freq.astype(np.uint32)
+            tb = jnp.asarray(pallas_encode._pad_rows(
+                et.base.astype(np.uint32), Msr))
+        else:
+            t1 = ((et.freq.astype(np.uint32) << 16)
+                  | et.base.astype(np.uint32))
+            tb = jnp.zeros((1, 128), jnp.int32)
+        scan = self._scan_program(B=mapped.shape[1], S=S, T=T, TCe=TCe,
+                                  NT=NT, G=G, Msr=Msr, log2m=et.log2m,
+                                  big_m=big_m)
+        packed, nb_ts, excw, states, round_base, totals = scan(
+            mapped, k, b, jnp.asarray(n_sec),
+            jnp.asarray(pallas_encode._pad_rows(t1, Msr)),
+            jnp.asarray(pallas_encode._pad_rows(
+                et.magic.astype(np.uint32), Msr)), tb)
+        round_base = np.asarray(round_base)
+        totals = np.asarray(totals)
+
+        # one t_sec across the mesh: min of the per-device choices
+        t_sec = None
+        for d in range(D):
+            ts, _ = framing.choose_sections(round_base[d][::6],
+                                            int(totals[d]), T)
+            t_sec = ts if t_sec is None else min(t_sec, ts)
+        sec_lens = [framing.sections_at(round_base[d][::6],
+                                        int(totals[d]), T, t_sec)
+                    for d in range(D)]
+        NSEC = len(sec_lens[0])
+        NR = 2 if et.log2m <= 16 else 3
+        NE = int(jnp.max(nb_ts))
+        Gp = G
+        while t_sec % Gp:
+            Gp //= 2
+        CH = NR + NE
+        WIN = -(-(Gp * CH * S) // 512) + 2
+        sw_bytes = max(int(sl.max()) for sl in sec_lens) + WIN * 512
+        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
+        SWr = sw_bytes // 512
+        place = self._place_program(S=S, T=T, t_sec=t_sec, NSEC=NSEC,
+                                    SWr=SWr, WIN=WIN, G=Gp, NR=NR, NE=NE)
+        secs = place(packed, nb_ts, excw, jnp.asarray(n_sec))
+        return (np.asarray(secs), np.asarray(states).view(np.uint32),
+                t_sec, sec_lens)
+
     def decode(self, blob: bytes, n: int | None = None) -> np.ndarray:
-        magic, ver, kind_id, fid, _, n_stored, D = struct.unpack_from(
+        magic, ver, kind_id, fid, h_app, n_stored, D = struct.unpack_from(
             "<IBBBBII", blob, 0)
         if magic != MAGIC:
             raise ValueError("not an ATFB container")
-        assert kind_id == KINDS[self.kind] and fid == self.fidelity, \
+        kind = _KIND_NAMES[kind_id]
+        assert kind == self.kind and fid == self.fidelity, \
             "container method does not match codec"
         n = n_stored if n is None else n
         pos = 16
+        mf = None
+        if kind == "rfold":
+            (do_reorder,) = struct.unpack_from("<I", blob, pos)
+            pos += 4
+            thres = fold_threshold(fid)
+            if do_reorder == 1:
+                mf = np.frombuffer(blob, dtype="<u4", count=thres,
+                                   offset=pos)
+                pos += 4 * thres
         (plen,) = struct.unpack_from("<I", blob, pos)
         pos += 4
         nfreqs, _ = load_prelude(blob[pos:pos + plen + 8])
         pos += plen
 
         syms = np.arange(len(nfreqs), dtype=np.uint32)
-        if self.kind == "msb":
+        if kind == "msb":
             dt = tables.build_dec_table(nfreqs, map_np.msb_unmap_high(syms),
                                         map_np.msb_exception_bytes(syms))
-        elif self.kind == "fold":
-            high, nb = map_np.fold_unmap_high(syms, self.fidelity)
+        elif kind in ("fold", "rfold"):
+            high, nb = map_np.fold_unmap_high(syms, fid)
+            if kind == "rfold":
+                thres = fold_threshold(fid)
+                if mf is not None:
+                    high = np.where(
+                        syms < thres, mf[np.minimum(syms, thres - 1)],
+                        high - np.uint32(thres)).astype(np.uint32)
+                else:
+                    high = np.where(syms < thres, syms,
+                                    high).astype(np.uint32)
             dt = tables.build_dec_table(nfreqs, high, nb)
         else:
             dt = tables.build_dec_table(nfreqs)
@@ -230,6 +463,14 @@ class BlockCodec:
             pos += slen
         S = secs[0][0]
         T = lane_codec.lane_steps(B, S)
+
+        if self.engine == "pallas":
+            out = self._decode_pallas(secs, dt, n_sec, S=S, T=T,
+                                      has_exc=has_exc)
+            if out is not None:
+                parts = [out[d].reshape(-1)[:n_sec[d]] for d in range(D)]
+                return np.concatenate(parts).astype(np.uint32)[:n]
+
         maxp = max(len(s[2]) for s in secs) + 8
         stream = np.zeros((D, maxp), dtype=np.uint8)
         states = np.zeros((D, S), dtype=np.uint32)
@@ -247,6 +488,65 @@ class BlockCodec:
         out = np.asarray(out)  # (D, T, S)
         parts = [out[d].reshape(-1)[:n_sec[d]] for d in range(D)]
         return np.concatenate(parts).astype(np.uint32)[:n]
+
+    def _decode_pallas(self, secs, dt, n_sec, *, S, T, has_exc):
+        """Per-device production decode kernels inside one shard_map
+        program; returns (D, >=T*S) u32 host array or None when the
+        blob/table shape is outside the Pallas envelope (caller falls
+        back to the XLA engine)."""
+        from ..models import engine as _engine
+        from ..ops import pallas_decode
+        D = len(secs)
+        t_sec0 = secs[0][3]
+        if any(s[3] != t_sec0 for s in secs) or S % 128 or S < 128:
+            return None
+        nsecs = {len(s[4]) for s in secs}
+        if len(nsecs) != 1:
+            return None
+        which = _engine.choose_decode_engine(dt, S)
+        if self.interpret and which == "xla":
+            # off-TPU choose() always says xla; re-evaluate eligibility
+            if _engine._search_cost(dt) is not None:
+                which = "search"
+            elif (int(dt.freq.max()) < (1 << 16)
+                  and dt.frame_size <= _engine.PALLAS_MAX_FRAME):
+                which = "direct"
+        if which == "xla":
+            return None
+        NR = 2 if dt.log2m <= 16 else 3
+        NE = int(dt.nb.max()) if has_exc else 0
+        WR = -(-(512 + (NR + NE) * S) // 512) + 1
+        sw = max(int(np.asarray(s[4]).max()) for s in secs) + WR * 512
+        sw = -(-sw // (128 * 1024)) * (128 * 1024)
+        streams, states = [], []
+        kw = None
+        tabs = ()
+        st_tab = None
+        if which == "search":
+            st_tab = tables.build_search_table(dt.nfreqs, dt.sym_high,
+                                               dt.sym_nb)
+        for d, (_, st, pay, t_sec, sec_len) in enumerate(secs):
+            if which == "search":
+                args, kw_d = pallas_decode.stage_search(
+                    np.asarray(pay), st, st_tab, int(n_sec[d]), S=S, T=T,
+                    t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
+                    interpret=self.interpret)
+            else:
+                args, kw_d = pallas_decode.stage(
+                    np.asarray(pay), st, dt, int(n_sec[d]), S=S, T=T,
+                    has_exc=has_exc, t_sec=t_sec, sec_len=sec_len,
+                    sw_bytes=sw, interpret=self.interpret)
+            streams.append(np.asarray(args[0]))
+            states.append(np.asarray(args[1]))
+            if kw is None:
+                kw, tabs = kw_d, args[3:]
+        fn = (pallas_decode._call_search if which == "search"
+              else pallas_decode._call)
+        prog = self._pallas_decode_program(fn, kw, len(tabs))
+        out = prog(jnp.asarray(np.stack(streams)),
+                   jnp.asarray(np.stack(states)),
+                   jnp.asarray(n_sec), *tabs)
+        return np.asarray(out)
 
 
 def encode_blocked(values, method="ANSfold-2", mesh=None, lanes=None):

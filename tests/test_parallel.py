@@ -62,3 +62,40 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] * out.shape[1] >= 4096
     g.dryrun_multichip(8)
+
+
+# -- production-kernel (Pallas) block engine --------------------------------
+
+@pytest.mark.parametrize("method", ["ANSfold-2", "ANSmsb", "ANS",
+                                    "ANSrfold-1", "ANSsint-2",
+                                    "ANSsmsb-80"])
+def test_blocked_pallas_roundtrip(data, method):
+    """shard_map bodies run the real scan/placement/decode kernels
+    (interpret mode on the CPU mesh)."""
+    src = data if "sint" not in method and method != "ANS" else (
+        data % 4096).astype(np.uint32)
+    codec = BlockCodec(method, make_mesh(8), lanes=128, engine="pallas",
+                       interpret=True)
+    blob = codec.encode(src[:20000])
+    np.testing.assert_array_equal(codec.decode(blob, 20000), src[:20000])
+
+
+def test_blocked_engines_cross_decode(data):
+    """A container encoded by the Pallas engine decodes on the XLA
+    engine and vice versa (one wire format, two engines)."""
+    src = data[:20000]
+    mesh = make_mesh(4)
+    fast = BlockCodec("ANSfold-2", mesh, lanes=128, engine="pallas",
+                      interpret=True)
+    slow = BlockCodec("ANSfold-2", mesh, lanes=128, engine="xla")
+    np.testing.assert_array_equal(slow.decode(fast.encode(src), len(src)),
+                                  src)
+    np.testing.assert_array_equal(fast.decode(slow.encode(src), len(src)),
+                                  src)
+
+
+def test_blocked_pallas_ragged(data):
+    src = data[: 8 * 2381 + 5]
+    codec = BlockCodec("ANSmsb", make_mesh(8), lanes=128, engine="pallas",
+                       interpret=True)
+    np.testing.assert_array_equal(codec.decode(codec.encode(src)), src)
