@@ -23,31 +23,58 @@ from . import config, framing
 from .ans import _decode_stream, _encode_stream, _require_nonempty
 
 
+def _use_pallas_split() -> bool:
+    import os
+
+    import jax
+    return (jax.default_backend() == "tpu"
+            and not os.environ.get("ANS_TPU_NO_PALLAS"))
+
+
 class Vbyte:
-    """7-bit varint splitter, device encode/decode (methods.hpp:38-59)."""
+    """7-bit varint splitter (methods.hpp:38-59).  On TPU the Pallas
+    routing kernels run both directions (ops/pallas_bytesplit: 383M enc
+    vs the XLA scatter path's 27M); XLA elsewhere."""
 
     name = "vbyte"
 
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        if _use_pallas_split():
+            from ..ops import pallas_bytesplit as pb
+            out, tots = pb.split_encode(jnp.asarray(values), len(values),
+                                        vbyte=True)
+            return pb.sections_to_bytes(out, tots).tobytes()
         out, total = bytesplit.vbyte_encode(jnp.asarray(values))
         return np.asarray(out[: int(total)]).tobytes()
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         arr = np.frombuffer(buf, dtype=np.uint8)
+        if _use_pallas_split():
+            from ..ops import pallas_bytesplit as pb
+            out = pb.vbyte_decode(arr, n)
+            return np.asarray(out).reshape(-1)[:n]
         arr = np.concatenate([arr, np.zeros(8, np.uint8)])
         return np.asarray(bytesplit.vbyte_decode(jnp.asarray(arr), n=n))
 
 
 class StreamVbyte:
-    """2-bit-key byte splitter, device encode/decode (methods.hpp:89-102)."""
+    """2-bit-key byte splitter (methods.hpp:89-102).  Pallas kernels on
+    TPU (control bytes drive a gather-free parallel decode), XLA
+    elsewhere."""
 
     name = "streamvbyte"
 
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
+        if _use_pallas_split():
+            from ..ops import pallas_bytesplit as pb
+            vd = jnp.asarray(values)
+            out, tots = pb.split_encode(vd, len(values), vbyte=False)
+            return (np.asarray(pb.svb_control(vd)).tobytes()
+                    + pb.sections_to_bytes(out, tots).tobytes())
         control, data, total = bytesplit.svb_encode(jnp.asarray(values))
         return (np.asarray(control).tobytes()
                 + np.asarray(data[: int(total)]).tobytes())
@@ -56,6 +83,10 @@ class StreamVbyte:
         nc = -(-n // 4)
         control = np.frombuffer(buf, dtype=np.uint8, count=nc)
         data = np.frombuffer(buf, dtype=np.uint8, offset=nc)
+        if _use_pallas_split():
+            from ..ops import pallas_bytesplit as pb
+            out = pb.svb_decode(control, data, n)
+            return np.asarray(out).reshape(-1)[:n]
         data = np.concatenate([data, np.zeros(8, np.uint8)])
         return np.asarray(bytesplit.svb_decode(
             jnp.asarray(control), jnp.asarray(data), n=n))

@@ -1,0 +1,71 @@
+"""Pallas byte-split kernels (ops/pallas_bytesplit) vs the XLA
+reference implementations (ops/bytesplit), interpret mode on CPU.
+
+The wire formats are fixed (vbyte: include/vbyte.hpp 7-bit varints;
+streamvbyte: lemire control+data layout), so encode must be BYTE-EXACT
+against the XLA versions and decode must invert real streams — the
+routing/expansion networks have no tolerance for near-misses.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ans_tpu.ops import bytesplit as bs
+from ans_tpu.ops import pallas_bytesplit as pb
+
+
+def _mixed(rng, n):
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    m = rng.random(n)
+    return np.where(m < .5, x & 0x7F,
+                    np.where(m < .8, x & 0xFFFF, x)).astype(np.uint32)
+
+
+@pytest.mark.parametrize("n", [100, 5000, 70000])
+@pytest.mark.parametrize("vbyte", [False, True])
+def test_split_encode_byte_exact(n, vbyte):
+    x = _mixed(np.random.default_rng(n), n)
+    out, tots = pb.split_encode(x, n, vbyte=vbyte, E=1 << 12,
+                                interpret=True)
+    got = pb.sections_to_bytes(out, tots)
+    if vbyte:
+        ref, total = bs.vbyte_encode(jnp.asarray(x))
+    else:
+        _, ref, total = bs.svb_encode(jnp.asarray(x))
+    np.testing.assert_array_equal(got, np.asarray(ref[: int(total)]))
+
+
+@pytest.mark.parametrize("n", [100, 5000, 70000])
+def test_svb_decode_kernel(n):
+    x = _mixed(np.random.default_rng(n + 1), n)
+    ctrl = np.asarray(pb.svb_control(jnp.asarray(x)))
+    _, data, total = bs.svb_encode(jnp.asarray(x))
+    out = pb.svb_decode(ctrl, np.asarray(data[: int(total)]), n,
+                        T_SEC=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n], x)
+
+
+@pytest.mark.parametrize("n", [100, 4096, 50000])
+def test_vbyte_decode_kernel(n):
+    """Exercises the terminator scans + MSB-first expansion router and
+    the cursor carry across DMA windows (GD=2 -> many windows)."""
+    x = _mixed(np.random.default_rng(n + 2), n)
+    ref, total = bs.vbyte_encode(jnp.asarray(x))
+    data = np.asarray(ref[: int(total)])
+    out = pb.vbyte_decode(data, n, GD=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n], x)
+
+
+def test_vbyte_decode_window_alignment():
+    """All-5-byte values stress the window/base normalization (cursor
+    lands mid-row constantly)."""
+    rng = np.random.default_rng(9)
+    x = (rng.integers(1 << 28, 1 << 32, size=9000, dtype=np.uint64)
+         .astype(np.uint32))
+    ref, total = bs.vbyte_encode(jnp.asarray(x))
+    out = pb.vbyte_decode(np.asarray(ref[: int(total)]), len(x), GD=2,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[: len(x)],
+                                  x)

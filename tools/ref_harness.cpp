@@ -22,6 +22,7 @@
 #include "ans_int.hpp"
 #include "ans_msb.hpp"
 #include "ans_reorder_fold.hpp"
+#include "vbyte.hpp"
 
 using clk = std::chrono::high_resolution_clock;
 
@@ -125,6 +126,22 @@ int main(int argc, char** argv) {
         },
         [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
           ans_reorder_fold_decompress<2>(d, m, s, c);
+        },
+        in);
+  // the reference's own in-repo vbyte (include/vbyte.hpp; the methods.hpp
+  // "vbyte" wraps the external FastPFor lib, not vendored here — this is
+  // the same wire format measured with the same scalar loop structure)
+  if (method == "all" || method == "vbyte")
+    run(
+        "vbyte",
+        [](uint8_t* d, size_t c, const uint32_t* s, size_t m) {
+          uint8_t* p = d;
+          for (size_t i = 0; i < m; i++) vbyte_encode_u32(p, s[i]);
+          return (size_t)(p - d);
+        },
+        [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
+          const uint8_t* p = s;
+          for (size_t i = 0; i < m; i++) d[i] = vbyte_decode_u32(p);
         },
         in);
   if (method == "all" || method == "int")
