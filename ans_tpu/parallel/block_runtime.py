@@ -280,7 +280,10 @@ class BlockCodec:
         header += top.astype("<u4").tobytes()
         return mapping[values], bytes(header)
 
-    def encode(self, values) -> bytes:
+    def encode(self, values, hist_override=None) -> bytes:
+        """hist_override: a precomputed GLOBAL symbol histogram (the
+        multi-host runtime passes the cross-process allreduce so every
+        shard derives the same model; parallel/multihost.py)."""
         values = np.ascontiguousarray(values, dtype=np.uint32)
         n = len(values)
         if n == 0:
@@ -296,8 +299,11 @@ class BlockCodec:
         n_sec = np.clip(n - B * np.arange(D), 0, B).astype(np.int32)
 
         sigma_cap = self._sigma_cap or (int(values.max()) + 1)
+        if hist_override is not None:
+            sigma_cap = max(sigma_cap, len(hist_override))
         mapped, k, b, hist = self._map_hist_program(sigma_cap)(vals)
-        freqs = np.asarray(hist).astype(np.uint64)
+        freqs = (np.asarray(hist) if hist_override is None
+                 else np.asarray(hist_override)).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, self.kind != "int",
                               self.h_approx)
