@@ -4,9 +4,10 @@ the byte-split+entropy composites.
 Counterparts of reference include/methods.hpp:38-102 (vbyte/streamvbyte
 via external libs), include/ans_byte.hpp (the in-repo byte rANS), and the
 composite adapters methods.hpp:432-482 (vbyteANS / streamvbyteANS) and
-:159-250 (fse / vbytefse — here backed by our own byte-rANS rather than
-the FSE library, so formats are self-defined; compression behavior is
-equivalent).  Split kernels run on device (ops/bytesplit.py); the byte
+:159-250 (fse / vbytefse — backed by the framework's real tANS,
+models/tans.py, since the reference's FSE is an external unvendored
+library; formats are self-defined).  Split kernels run on device
+(ops/bytesplit.py, ops/pallas_bytesplit.py on TPU); the ANS byte
 entropy stage is the S-lane engine over the 256-symbol alphabet.
 """
 
@@ -159,32 +160,21 @@ def StreamVbyteAns(lanes=None):
                                  "streamvbyteANS")
 
 
-class FseEquivalent:
-    """Entropy-code the raw little-endian bytes of the u32 input
-    (the reference's `fse` method, methods.hpp:159-176, with our byte
-    rANS standing in for the FSE library)."""
-
-    name = "fse"
-
-    def __init__(self, lanes: int | None = None):
-        self.entropy = AnsByte(lanes)
-
-    def encode(self, values) -> bytes:
-        values = np.ascontiguousarray(values, dtype="<u4")
-        _require_nonempty(values)
-        return self.entropy.encode(values.tobytes())
-
-    def decode(self, buf: bytes, n: int) -> np.ndarray:
-        raw = self.entropy.decode(buf, n * 4)
-        return np.frombuffer(raw, dtype="<u4").copy()
+def FseEquivalent(lanes=None):
+    """The reference's `fse` method (methods.hpp:159-176) over the
+    framework's real tANS (models/tans.py)."""
+    from .tans import Fse
+    return Fse()
 
 
 def VbyteFse(lanes=None):
-    return _SplitPlusByteEntropy(Vbyte(), AnsByte(lanes), "vbytefse")
+    from .tans import ByteTans
+    return _SplitPlusByteEntropy(Vbyte(), ByteTans(), "vbytefse")
 
 
 def StreamVbyteFse(lanes=None):
-    return _SplitPlusByteEntropy(StreamVbyte(), AnsByte(lanes),
+    from .tans import ByteTans
+    return _SplitPlusByteEntropy(StreamVbyte(), ByteTans(),
                                  "streamvbytefse")
 
 

@@ -263,6 +263,86 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
     return used;
 }
 
+// ----------------------------------------------------------------- tANS ---
+// Tabled-ANS hot loops (spec: models/tans.py — 4 interleaved states
+// over one LSB-first bitstream, encoded in reverse, decoded forward
+// reading from the tail).  Tables are built in Python; only the
+// per-symbol loops live here.
+
+static const int TANS_STATES = 4;
+
+// Returns total bits written (payload bytes = ceil(bits/8)), final
+// states in states_out[4], or -1 on overflow.  sigma = table length;
+// per-symbol loads are packed into one u64 (cutoff | aux<<32 with
+// aux = (delta + L) << 5 | k0, delta = cumbase - q) and the bitstream
+// flushes 4 bytes at a time (fill stays < 45 since nb <= 13).
+int64_t tans_encode(const uint32_t* ids, int64_t n, const uint8_t* k0,
+                    const uint32_t* cutoff, const uint32_t* cumbase,
+                    const uint32_t* q, const uint32_t* enc_next,
+                    int64_t L, int64_t sigma, uint32_t* states_out,
+                    uint8_t* out, int64_t cap) {
+    uint64_t stab[256];
+    for (int64_t s = 0; s < sigma; s++) {
+        uint64_t aux = (((uint64_t)((int64_t)cumbase[s] - (int64_t)q[s]
+                                    + L)) << 5) | k0[s];
+        stab[s] = (uint64_t)cutoff[s] | (aux << 32);
+    }
+    uint32_t st[TANS_STATES] = {(uint32_t)L, (uint32_t)L, (uint32_t)L,
+                                (uint32_t)L};
+    uint64_t acc = 0;
+    int fill = 0;
+    int64_t pos = 0;
+    for (int64_t p = n - 1; p >= 0; p--) {
+        uint64_t e = stab[ids[p]];
+        uint32_t x = st[p & 3];
+        uint32_t aux = (uint32_t)(e >> 32);
+        int nb = (int)(aux & 31) - (x < (uint32_t)e);
+        acc |= (uint64_t)(x & ((1u << nb) - 1)) << fill;
+        fill += nb;
+        if (fill >= 32) {
+            if (pos + 4 > cap) return -1;
+            uint32_t w = (uint32_t)acc;
+            memcpy(out + pos, &w, 4);
+            pos += 4;
+            acc >>= 32;
+            fill -= 32;
+        }
+        st[p & 3] = enc_next[(int64_t)(aux >> 5) - L + (x >> nb)];
+    }
+    int64_t total_bits = 8 * pos + fill;
+    while (fill > 0) {
+        if (pos >= cap) return -1;
+        out[pos++] = (uint8_t)acc;
+        acc >>= 8;
+        fill -= 8;
+    }
+    for (int i = 0; i < TANS_STATES; i++) states_out[i] = st[i];
+    return total_bits;
+}
+
+// payload must be readable for 8 bytes past any bit position (caller
+// pads).  states_in = the encoder's final states.
+void tans_decode(const uint8_t* payload, int64_t total_bits, int64_t n,
+                 const uint32_t* sym, const uint8_t* nbt,
+                 const uint32_t* base, int64_t L,
+                 const uint32_t* states_in, uint32_t* out) {
+    uint32_t st[TANS_STATES];
+    for (int i = 0; i < TANS_STATES; i++) st[i] = states_in[i];
+    int64_t cur = total_bits;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t x = st[i & 3];
+        int64_t p = (int64_t)x - L;
+        out[i] = sym[p];
+        int nb = nbt[p];
+        cur -= nb;
+        uint64_t w;
+        memcpy(&w, payload + (cur >> 3), 8);
+        uint32_t bits = (uint32_t)((w >> (cur & 7))
+                                   & ((1u << nb) - 1));
+        st[i & 3] = base[p] + bits;
+    }
+}
+
 }  // extern "C"
 
 // ------------------------------------------------- interpolative coder ---

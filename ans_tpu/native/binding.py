@@ -40,6 +40,13 @@ class NativeLib:
                                         ct.c_void_p, ct.c_void_p, _u32p]
         c.ans_mtf.restype = None
         c.ans_mtf.argtypes = [_u32p, ct.c_int64, ct.c_int64, _u32p]
+        c.tans_encode.restype = ct.c_int64
+        c.tans_encode.argtypes = [_u32p, ct.c_int64, _u8p, _u32p, _u32p,
+                                  _u32p, _u32p, ct.c_int64, ct.c_int64,
+                                  _u32p, _u8p, ct.c_int64]
+        c.tans_decode.restype = None
+        c.tans_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u32p,
+                                  _u8p, _u32p, ct.c_int64, _u32p, _u32p]
         c.ans_interp_encode.restype = ct.c_int64
         c.ans_interp_encode.argtypes = [_u64p, ct.c_int64, ct.c_uint64,
                                         _u8p, ct.c_int64]
@@ -150,6 +157,36 @@ class NativeLib:
             np.ascontiguousarray(syms, np.uint32), out)
         if rc < 0:
             raise ValueError("corrupt shuff stream")
+        return out
+
+    # ---- tANS ------------------------------------------------------------
+
+    def tans_encode(self, ids: np.ndarray, t: dict):
+        """4-state tANS encode (tables from models.tans.build_tables).
+        Returns (final_states list[4], total_bits, payload bytes)."""
+        n = len(ids)
+        cap = 2 * n + 64
+        out = np.empty(cap, np.uint8)
+        states = np.empty(4, np.uint32)
+        bits = self._c.tans_encode(
+            np.ascontiguousarray(ids, np.uint32), n, t["k0"],
+            t["cutoff"], t["cumbase"], t["q"], t["enc_next"],
+            int(t["L"]), len(t["q"]), states, out, cap)
+        if bits < 0:
+            raise RuntimeError("native tans encode overflow")
+        nbytes = (int(bits) + 7) // 8
+        return ([int(s) for s in states], int(bits),
+                out[:nbytes].tobytes() if nbytes else b"\x00")
+
+    def tans_decode(self, payload: bytes, total_bits: int, states,
+                    n: int, t: dict) -> np.ndarray:
+        out = np.empty(n, np.uint32)
+        # 8-byte read slack past any bit position
+        arr = np.zeros(len(payload) + 8, np.uint8)
+        arr[: len(payload)] = np.frombuffer(payload, np.uint8)
+        self._c.tans_decode(arr, total_bits, n, t["sym"], t["nbt"],
+                            t["base"], int(t["L"]),
+                            np.asarray(states, np.uint32), out)
         return out
 
     # ---- transforms ------------------------------------------------------
