@@ -152,18 +152,20 @@ class ByteTans:
         if len(arr) == 0:
             raise ValueError("cannot encode an empty sequence")
         t0 = time.perf_counter_ns()
-        freqs = np.bincount(arr, minlength=BYTE_MAX_SIGMA).astype(
-            np.uint64)
+        lib = _native()
+        if lib is not None:
+            freqs = lib.hist_u8(arr)
+        else:
+            freqs = np.bincount(arr, minlength=BYTE_MAX_SIGMA).astype(
+                np.uint64)
         nfreqs = byte_adjust_freqs(freqs)
         increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
         prelude = interp.encode(increasing, BYTE_MAX_SIGMA,
                                 BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
         t = build_tables(nfreqs)
         t1 = time.perf_counter_ns()
-        lib = _native()
         if lib is not None:
-            states, total_bits, payload = lib.tans_encode(
-                arr.astype(np.uint32), t)
+            states, total_bits, payload = lib.tans_encode(arr, t)
         else:
             states, total_bits, payload = _encode_py(arr, t)
         head = b"".join(int(s - t["L"]).to_bytes(2, "little")
@@ -190,9 +192,9 @@ class ByteTans:
         payload = buf[off + 16: off + 16 + ((total_bits + 7) // 8 or 1)]
         lib = _native()
         if lib is not None:
-            out = lib.tans_decode(payload, total_bits, states, n, t)
-        else:
-            out = _decode_py(payload, total_bits, states, n, t)
+            return lib.tans_decode(payload, total_bits, states, n,
+                                   t).tobytes()
+        out = _decode_py(payload, total_bits, states, n, t)
         return out.astype(np.uint8).tobytes()
 
 

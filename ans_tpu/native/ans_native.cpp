@@ -272,11 +272,15 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
 static const int TANS_STATES = 4;
 
 // Returns total bits written (payload bytes = ceil(bits/8)), final
-// states in states_out[4], or -1 on overflow.  sigma = table length;
-// per-symbol loads are packed into one u64 (cutoff | aux<<32 with
-// aux = (delta + L) << 5 | k0, delta = cumbase - q) and the bitstream
-// flushes 4 bytes at a time (fill stays < 45 since nb <= 13).
-int64_t tans_encode(const uint32_t* ids, int64_t n, const uint8_t* k0,
+// states in states_out[4], or -1 on overflow.  sigma = table length
+// (<= 256: ids are bytes); per-symbol loads are packed into one u64
+// (cutoff | aux<<32 with aux = (delta + L) << 5 | k0, delta =
+// cumbase - q).  The bitstream flush is branchless: every iteration
+// stores the whole 8-byte accumulator and advances by the completed
+// bytes (nb <= 12 keeps fill < 8 + 12 < 64), so the hot loop carries
+// no data-dependent branch — the old 4-byte conditional flush
+// mispredicted every ~5 symbols and dominated the runtime.
+int64_t tans_encode(const uint8_t* ids, int64_t n, const uint8_t* k0,
                     const uint32_t* cutoff, const uint32_t* cumbase,
                     const uint32_t* q, const uint32_t* enc_next,
                     int64_t L, int64_t sigma, uint32_t* states_out,
@@ -299,40 +303,56 @@ int64_t tans_encode(const uint32_t* ids, int64_t n, const uint8_t* k0,
         int nb = (int)(aux & 31) - (x < (uint32_t)e);
         acc |= (uint64_t)(x & ((1u << nb) - 1)) << fill;
         fill += nb;
-        if (fill >= 32) {
-            if (pos + 4 > cap) return -1;
-            uint32_t w = (uint32_t)acc;
-            memcpy(out + pos, &w, 4);
-            pos += 4;
-            acc >>= 32;
-            fill -= 32;
-        }
+        if (pos + 8 > cap) return -1;
+        memcpy(out + pos, &acc, 8);
+        int adv = fill >> 3;
+        pos += adv;
+        acc >>= adv << 3;
+        fill &= 7;
         st[p & 3] = enc_next[(int64_t)(aux >> 5) - L + (x >> nb)];
     }
     int64_t total_bits = 8 * pos + fill;
-    while (fill > 0) {
+    if (fill > 0) {
         if (pos >= cap) return -1;
-        out[pos++] = (uint8_t)acc;
-        acc >>= 8;
-        fill -= 8;
+        out[pos] = (uint8_t)acc;
     }
     for (int i = 0; i < TANS_STATES; i++) states_out[i] = st[i];
     return total_bits;
 }
 
+// Byte histogram (np.bincount replacement for the entropy stages:
+// ~30 ms -> ~2 ms on 8 MB).  Four sub-tables break the increment
+// dependency chain on repeated symbols.
+void hist_u8(const uint8_t* data, int64_t n, uint64_t* out256) {
+    uint64_t h[4][256] = {};
+    int64_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+        h[0][data[i]]++;
+        h[1][data[i + 1]]++;
+        h[2][data[i + 2]]++;
+        h[3][data[i + 3]]++;
+    }
+    for (; i < n; i++) h[0][data[i]]++;
+    for (int s = 0; s < 256; s++)
+        out256[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+}
+
 // payload must be readable for 8 bytes past any bit position (caller
-// pads).  states_in = the encoder's final states.
+// pads).  states_in = the encoder's final states.  out is the byte
+// alphabet directly (sym < 256 — writing u8 saves the caller an
+// 8M-element astype; a packed one-u64-per-slot table variant measured
+// SLOWER than the three separate L1-resident tables, so keep these).
 void tans_decode(const uint8_t* payload, int64_t total_bits, int64_t n,
                  const uint32_t* sym, const uint8_t* nbt,
                  const uint32_t* base, int64_t L,
-                 const uint32_t* states_in, uint32_t* out) {
+                 const uint32_t* states_in, uint8_t* out) {
     uint32_t st[TANS_STATES];
     for (int i = 0; i < TANS_STATES; i++) st[i] = states_in[i];
     int64_t cur = total_bits;
     for (int64_t i = 0; i < n; i++) {
         uint32_t x = st[i & 3];
         int64_t p = (int64_t)x - L;
-        out[i] = sym[p];
+        out[i] = (uint8_t)sym[p];
         int nb = nbt[p];
         cur -= nb;
         uint64_t w;

@@ -41,12 +41,14 @@ class NativeLib:
         c.ans_mtf.restype = None
         c.ans_mtf.argtypes = [_u32p, ct.c_int64, ct.c_int64, _u32p]
         c.tans_encode.restype = ct.c_int64
-        c.tans_encode.argtypes = [_u32p, ct.c_int64, _u8p, _u32p, _u32p,
+        c.tans_encode.argtypes = [_u8p, ct.c_int64, _u8p, _u32p, _u32p,
                                   _u32p, _u32p, ct.c_int64, ct.c_int64,
                                   _u32p, _u8p, ct.c_int64]
+        c.hist_u8.restype = None
+        c.hist_u8.argtypes = [_u8p, ct.c_int64, _u64p]
         c.tans_decode.restype = None
         c.tans_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u32p,
-                                  _u8p, _u32p, ct.c_int64, _u32p, _u32p]
+                                  _u8p, _u32p, ct.c_int64, _u32p, _u8p]
         c.ans_interp_encode.restype = ct.c_int64
         c.ans_interp_encode.argtypes = [_u64p, ct.c_int64, ct.c_uint64,
                                         _u8p, ct.c_int64]
@@ -162,14 +164,15 @@ class NativeLib:
     # ---- tANS ------------------------------------------------------------
 
     def tans_encode(self, ids: np.ndarray, t: dict):
-        """4-state tANS encode (tables from models.tans.build_tables).
+        """4-state tANS encode (tables from models.tans.build_tables;
+        ids are byte-alphabet, sigma <= 256).
         Returns (final_states list[4], total_bits, payload bytes)."""
         n = len(ids)
         cap = 2 * n + 64
         out = np.empty(cap, np.uint8)
         states = np.empty(4, np.uint32)
         bits = self._c.tans_encode(
-            np.ascontiguousarray(ids, np.uint32), n, t["k0"],
+            np.ascontiguousarray(ids, np.uint8), n, t["k0"],
             t["cutoff"], t["cumbase"], t["q"], t["enc_next"],
             int(t["L"]), len(t["q"]), states, out, cap)
         if bits < 0:
@@ -180,13 +183,19 @@ class NativeLib:
 
     def tans_decode(self, payload: bytes, total_bits: int, states,
                     n: int, t: dict) -> np.ndarray:
-        out = np.empty(n, np.uint32)
+        out = np.empty(n, np.uint8)
         # 8-byte read slack past any bit position
         arr = np.zeros(len(payload) + 8, np.uint8)
         arr[: len(payload)] = np.frombuffer(payload, np.uint8)
         self._c.tans_decode(arr, total_bits, n, t["sym"], t["nbt"],
                             t["base"], int(t["L"]),
                             np.asarray(states, np.uint32), out)
+        return out
+
+    def hist_u8(self, data: np.ndarray) -> np.ndarray:
+        out = np.empty(256, np.uint64)
+        self._c.hist_u8(np.ascontiguousarray(data, np.uint8), len(data),
+                        out)
         return out
 
     # ---- transforms ------------------------------------------------------

@@ -91,3 +91,16 @@ def test_fse_method_roundtrip_and_empty():
     np.testing.assert_array_equal(c.decode(blob, len(vals)), vals)
     with pytest.raises(ValueError):
         c.encode(np.array([], np.uint32))
+
+
+def test_native_hist_u8_matches_bincount():
+    from ans_tpu import native
+    if native.lib is None:
+        pytest.skip("native backend not built")
+    data = np.random.default_rng(13).integers(
+        0, 256, 100003).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.lib.hist_u8(data),
+        np.bincount(data, minlength=256).astype(np.uint64))
+    np.testing.assert_array_equal(
+        native.lib.hist_u8(data[:0]), np.zeros(256, np.uint64))
