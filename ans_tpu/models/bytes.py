@@ -110,7 +110,8 @@ class AnsByte:
         arr = np.frombuffer(data, dtype=np.uint8)
         if len(arr) == 0:
             raise ValueError("cannot encode an empty sequence")
-        freqs = np.bincount(arr, minlength=BYTE_MAX_SIGMA).astype(np.uint64)
+        from .. import native
+        freqs = native.byte_histogram(arr)
         nfreqs = byte_adjust_freqs(freqs)
         increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
         prelude = interp.encode(increasing, BYTE_MAX_SIGMA,

@@ -152,12 +152,9 @@ class ByteTans:
         if len(arr) == 0:
             raise ValueError("cannot encode an empty sequence")
         t0 = time.perf_counter_ns()
+        from .. import native
+        freqs = native.byte_histogram(arr)
         lib = _native()
-        if lib is not None:
-            freqs = lib.hist_u8(arr)
-        else:
-            freqs = np.bincount(arr, minlength=BYTE_MAX_SIGMA).astype(
-                np.uint64)
         nfreqs = byte_adjust_freqs(freqs)
         increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
         prelude = interp.encode(increasing, BYTE_MAX_SIGMA,

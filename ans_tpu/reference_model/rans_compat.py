@@ -427,8 +427,9 @@ class AnsByte:
     def encode(self, data: bytes) -> bytes:
         from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
         from . import interp
+        from .. import native
         arr = np.frombuffer(data, dtype=np.uint8)
-        freqs = np.bincount(arr, minlength=BYTE_MAX_SIGMA).astype(np.uint64)
+        freqs = native.byte_histogram(arr)
         nfreqs = byte_adjust_freqs(freqs)
         M = int(nfreqs.sum())
         increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
