@@ -15,8 +15,10 @@ shuffle + masked term per 128-entry row, combined by a balanced OR tree
 
   * decode-table lookups: 2 per step (freq<<16|offset and the packed
     high/nb word), each M/128 rows;
-  * stream reads: ONE batched gather per step over all six lockstep
-    rounds from a <= (512 + 6S)-byte window past the cursor.
+  * stream reads: one gather PER ROUND-CHANNEL from that channel's own
+    <= (512 + S)-byte window (split_win; the round bases are
+    lane-uniform scalars) — scanning 6 rows per channel instead of the
+    22-row worst-case union window took the v5e headline 450 -> 542M.
 
 Scalar-unit traffic is minimized — measurement showed per-step scalar
 round-trips (SMEM cursor, vector->scalar extractions) dominating the
@@ -101,12 +103,27 @@ def _take1(row, idx, B):
                                axis=1)
 
 
-def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR):
+def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR,
+                split_win=False):
     """Shared per-step stream machinery: batched rank prefix over the
-    NR+NE round masks, ONE window gather, then the high-first merges.
+    NR+NE round masks, the window gather(s), then the high-first
+    merges.
 
     ms: list of NR renorm masks + NE exception masks, each (R,128) i32.
-    Returns (st after renorm refills, exception low bytes, step_tot)."""
+    Returns (st after renorm refills, exception low bytes, step_tot).
+
+    split_win=False: ONE gather over the worst-case (NR+NE)S-byte
+    window (WR rows scanned for every position).  split_win=True: one
+    gather PER CHANNEL over that channel's own <= S-byte span (6 rows
+    at S=2048 instead of 22) — channel c's positions all lie in
+    [cursor + base_c, cursor + base_c + S], and base_c is lane-uniform,
+    so the slice row is a scalar.  Costs CH-1 extra vector->scalar
+    extractions per step; measured 450 -> 542M ints/s on the v5e
+    headline (zipf n=2^25, fold-2, S=2048, CH=5), so it is the
+    production default.  Buffer safety: per-channel reads end at
+    (cursor + base_c) + WRc*512 <= sec_len + WR*512 because
+    WRc <= WR for every CH >= 1 — the staged slack covers both
+    paths."""
     CH = NR + NE
     m6 = jnp.concatenate(ms, axis=0)                    # (CH*R,128)
     rank, chan_tot = _prefixc(m6, R, CH)
@@ -114,16 +131,31 @@ def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR):
     for c in range(CH):
         bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
     step_tot = bases_l[-1]                              # (1,128)
-    bases = jnp.concatenate(bases_l[:-1], axis=0)       # (CH,128)
-    # one window slice per step; the only scalar extraction
-    row0 = cursor[0, 0] >> 9
-    win = stream_ref[0, pl.ds(row0, WR), :]
-    base_in_win = cursor - (row0 << 9)                      # (1,128)
-    byte_pos = (base_in_win + rank
-                + jnp.repeat(bases, R, axis=0))            # (CH*R,128)
-    q = byte_pos >> 2
-    w = _lookup(win, q, WR, CH * R)
-    byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
+    if split_win:
+        WRc = -(-(512 + R * 128) // 512) + 1
+        byte6 = []
+        cur0 = cursor[0, 0]
+        for c in range(CH):
+            pos0 = cur0 + (jnp.int32(0) if c == 0
+                           else bases_l[c][0, 0])
+            r0c = pos0 >> 9
+            winc = stream_ref[0, pl.ds(r0c, WRc), :]
+            bpos = (cursor + bases_l[c] - (r0c << 9)
+                    + rank[c * R:(c + 1) * R])          # (R,128)
+            w = _lookup(winc, bpos >> 2, WRc, R)
+            byte6.append((w >> ((bpos & 3) * 8)) & 0xFF)
+        byte6 = jnp.concatenate(byte6, axis=0)
+    else:
+        bases = jnp.concatenate(bases_l[:-1], axis=0)   # (CH,128)
+        # one window slice per step; the only scalar extraction
+        row0 = cursor[0, 0] >> 9
+        win = stream_ref[0, pl.ds(row0, WR), :]
+        base_in_win = cursor - (row0 << 9)                  # (1,128)
+        byte_pos = (base_in_win + rank
+                    + jnp.repeat(bases, R, axis=0))        # (CH*R,128)
+        q = byte_pos >> 2
+        w = _lookup(win, q, WR, CH * R)
+        byte6 = (w >> ((byte_pos & 3) * 8)) & 0xFF
     # merge: renorm rounds high-first, then exception bytes
     st = st0
     for j in range(NR):
@@ -139,7 +171,7 @@ def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR):
 
 def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             out_ref, state_scr, cur_scr, *, S, R, TC, T_SEC, Mr, WR,
-            log2m, has_exc, packed23, NR, NE):
+            log2m, has_exc, packed23, NR, NE, split_win):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
     mask = (1 << log2m) - 1
@@ -183,7 +215,8 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
                 nb = jnp.where(valid, _lookup(w3, slot, Mr, R), 0)
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
-                                        R, NR, NE, WR)
+                                        R, NR, NE, WR,
+                                        split_win=split_win)
         if has_exc:
             if packed23:
                 high = jnp.where(
@@ -206,15 +239,17 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
 @functools.partial(jax.jit,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Mr",
                                     "WR", "SWr", "log2m", "has_exc",
-                                    "packed23", "NR", "NE", "interpret"))
+                                    "packed23", "NR", "NE", "split_win",
+                                    "interpret"))
 def _call(stream3d, states2d, n, w1, w2, w3, *, S, R, TC, T_SEC, NSEC, Mr,
           WR, SWr, log2m, has_exc, packed23=False, NR=3, NE=3,
-          interpret=False):
+          split_win=False, interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, T_SEC=T_SEC, Mr=Mr,
                           WR=WR, log2m=log2m, has_exc=has_exc,
-                          packed23=packed23, NR=NR, NE=NE),
+                          packed23=packed23, NR=NR, NE=NE,
+                          split_win=split_win),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -266,7 +301,8 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
 
 def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                    S, R, TC, T_SEC, Sr, WR, log2m, M, depth, has_exc,
-                   val_table, packed23, NR, NE, prows, ppack, w2pack):
+                   val_table, packed23, NR, NE, prows, ppack, w2pack,
+                   split_win):
     piv_refs = rest[:depth]
     out_ref = rest[depth]
     state_scr, cur_scr = rest[depth + 1], rest[depth + 2]
@@ -334,7 +370,8 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                 nb = jnp.where(valid, _lookup(w3, m, Sr, R), 0)
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
-                                        R, NR, NE, WR)
+                                        R, NR, NE, WR,
+                                        split_win=split_win)
         if has_exc:
             if packed23:
                 high = jnp.where(
@@ -361,18 +398,19 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                                     "WR", "SWr", "log2m", "M", "depth",
                                     "has_exc", "val_table", "packed23",
                                     "NR", "NE", "prows", "ppack",
-                                    "w2pack", "interpret"))
+                                    "w2pack", "split_win", "interpret"))
 def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
                  NSEC, Sr, WR, SWr, log2m, M, depth, has_exc, val_table,
                  packed23, NR, NE, prows, ppack, w2pack,
-                 interpret=False):
+                 split_win=False, interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel_search, S=S, R=R, TC=TC, T_SEC=T_SEC,
                           Sr=Sr, WR=WR, log2m=log2m, M=M, depth=depth,
                           has_exc=has_exc, val_table=val_table,
                           packed23=packed23, NR=NR, NE=NE, prows=prows,
-                          ppack=ppack, w2pack=w2pack),
+                          ppack=ppack, w2pack=w2pack,
+                          split_win=split_win),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -397,7 +435,8 @@ def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
 
 def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
                  S: int, T: int, t_sec: int, sec_len, TC: int = 128,
-                 sw_bytes: int | None = None, interpret: bool = False):
+                 sw_bytes: int | None = None, split_win: bool = True,
+                 interpret: bool = False):
     """Stage inputs for the pivot-search kernel.  st: tables.SearchTable.
     Returns (args, kwargs) for _call_search.  sw_bytes overrides the
     section-buffer size (block_runtime passes the mesh-wide max so all
@@ -478,23 +517,23 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
               SWr=stream3d.shape[1], log2m=st.log2m, M=st.frame_size,
               depth=st.depth, has_exc=has_exc, val_table=val_table,
               packed23=packed23, NR=NR, NE=NE, prows=prows, ppack=ppack,
-              w2pack=w2pack, interpret=interpret)
+              w2pack=w2pack, split_win=split_win, interpret=interpret)
     return args, kw
 
 
 def decode_search(payload, states, st, n, *, S, T, t_sec, sec_len,
-                  TC=128, interpret=False):
+                  TC=128, split_win=True, interpret=False):
     """One-shot host wrapper for the search kernel."""
     args, kw = stage_search(payload, states, st, n, S=S, T=T,
                             t_sec=t_sec, sec_len=sec_len, TC=TC,
-                            interpret=interpret)
+                            split_win=split_win, interpret=interpret)
     return _call_search(*args, **kw)
 
 
 def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
           S: int, T: int, has_exc: bool, t_sec: int, sec_len,
           TC: int = 128, sw_bytes: int | None = None,
-          interpret: bool = False):
+          split_win: bool = True, interpret: bool = False):
     """Stage all kernel inputs on device; returns (args, kwargs) for
     _call.  Separated from decode() so callers can amortize the staging
     (PreparedDecoder / production serving).  sw_bytes overrides the
@@ -555,15 +594,17 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
                                   else 1)))
     kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=nsec, Mr=Mr, WR=WR,
               SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
-              packed23=packed23, NR=NR, NE=NE, interpret=interpret)
+              packed23=packed23, NR=NR, NE=NE, split_win=split_win,
+              interpret=interpret)
     return args, kw
 
 
 def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
            S: int, T: int, has_exc: bool, t_sec: int, sec_len,
-           TC: int = 128, interpret: bool = False):
+           TC: int = 128, split_win: bool = True,
+           interpret: bool = False):
     """One-shot host wrapper: stage + run.  Returns (>=T, S) u32."""
     args, kw = stage(payload, states, dt, n, S=S, T=T, has_exc=has_exc,
                      t_sec=t_sec, sec_len=sec_len, TC=TC,
-                     interpret=interpret)
+                     split_win=split_win, interpret=interpret)
     return _call(*args, **kw)
