@@ -115,7 +115,7 @@ class AnsInt:
     def __init__(self, h_approx: int = 1, lanes: int | None = None,
                  max_frame: int | None = DEFAULT_MAX_FRAME):
         self.h_approx = h_approx
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
         self.max_frame = max_frame
         self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
 
@@ -156,7 +156,7 @@ class AnsMsb:
     def __init__(self, h_approx: int = 1, lanes: int | None = None,
                  max_frame: int | None = DEFAULT_MAX_FRAME):
         self.h_approx = h_approx
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
         self.max_frame = max_frame
         self.name = "ANSmsb" if h_approx == 1 else f"ANSsmsb-{h_approx}"
 
@@ -205,7 +205,7 @@ class AnsFold:
         assert 1 <= fidelity <= 8
         self.fidelity = fidelity
         self.h_approx = h_approx
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
         self.max_frame = max_frame
         self.name = f"ANSfold-{fidelity}"
 
@@ -247,7 +247,7 @@ class AnsReorderFold:
                  max_frame: int | None = DEFAULT_MAX_FRAME):
         self.fidelity = fidelity
         self.h_approx = h_approx
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
         self.max_frame = max_frame
         self.name = f"ANSrfold-{fidelity}"
 
@@ -256,24 +256,8 @@ class AnsReorderFold:
         _require_nonempty(values)
         t0 = time.perf_counter_ns()
         f = self.fidelity
-        thres = fold_threshold(f)
-        max_raw = int(values.max())
-        counts = np.bincount(values, minlength=max_raw + 1)
-        sigma = int((counts != 0).sum())
-        header = bytearray()
-        if sigma < thres:
-            remapped = jnp.asarray(values)
-            header += (0).to_bytes(4, "little")
-        else:
-            present = np.flatnonzero(counts)
-            order = np.lexsort((present, -counts[present]))
-            top = present[order[:thres]].astype(np.uint32)
-            mapping = np.arange(max_raw + 1, dtype=np.uint32) + np.uint32(
-                thres)
-            mapping[top] = np.arange(thres, dtype=np.uint32)
-            remapped = jnp.asarray(mapping)[jnp.asarray(values)]
-            header += (1).to_bytes(4, "little")
-            header += top.astype("<u4").tobytes()
+        remapped_np, header = map_np.craft_reorder(values, f)
+        remapped = jnp.asarray(remapped_np)
         sigma_cap = fold_max_sigma(f)
         mapped, k, b, hist = mj.fold_map_hist(remapped, fidelity=f,
                                               length=sigma_cap)

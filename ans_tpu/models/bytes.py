@@ -104,7 +104,7 @@ class AnsByte:
     name = "ansbyte"
 
     def __init__(self, lanes: int | None = None):
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
 
     def encode(self, data: bytes) -> bytes:
         arr = np.frombuffer(data, dtype=np.uint8)

@@ -9,6 +9,15 @@ def next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def validate_lanes(lanes: int | None) -> int | None:
+    """Lane counts must be powers of two: the fmt-2 section header
+    stores log2(S) (framing.pack), and the placement kernel's
+    row->(step,row) arithmetic assumes it."""
+    if lanes is not None and (lanes < 1 or lanes & (lanes - 1)):
+        raise ValueError(f"lanes must be a power of two, got {lanes}")
+    return lanes
+
+
 def default_lane_count(n: int, min_lanes: int = 32,
                        max_lanes: int = 2048) -> int:
     """Lanes S for an n-element block.

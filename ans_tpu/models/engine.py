@@ -38,7 +38,9 @@ def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    if S % 128 or S < 128:
+    # R = S/128 must be a power of two: the placement kernel maps rows
+    # to (step, row) with `rowGR >> logR` / `rowGR & (R-1)`
+    if S % 128 or S < 128 or ((S // 128) & (S // 128 - 1)):
         return False
     M = et.frame_size
     if M < 2 or M > (1 << 22):

@@ -112,22 +112,25 @@ def _pack_msb_numpy(vals: np.ndarray, lens: np.ndarray) -> bytes:
     """Vectorized MSB-first packer: each code lands in at most two
     64-bit big-endian words; one unbuffered bitwise_or scatter each."""
     vals = vals.astype(np.uint64)
-    lens = lens.astype(np.int64)
+    lens = lens.astype(np.uint64)
     ends = np.cumsum(lens)
     starts = ends - lens
     total = int(ends[-1]) if len(ends) else 0
     nwords = (total + 63) // 64 + 1
     W = np.zeros(nwords, dtype=np.uint64)
-    w = starts >> 6
-    o = starts & 63
-    sh = 64 - o - lens
-    lo = np.where(sh >= 0, vals << (sh & 63), vals >> ((-sh) & 63))
+    w = (starts >> np.uint64(6)).astype(np.int64)
+    o = starts & np.uint64(63)
+    sh = (np.uint64(64) - o - lens).astype(np.int64)  # may be negative
+    shp = (sh & 63).astype(np.uint64)
+    shn = ((-sh) & 63).astype(np.uint64)
+    lo = np.where(sh >= 0, vals << shp, vals >> shn)
     np.bitwise_or.at(W, w, lo)
-    sp = np.maximum(-sh, 0)
+    sp = np.maximum(-sh, 0).astype(np.uint64)
     spill = np.where(sp > 0,
-                     (vals & ((np.uint64(1) << sp.astype(np.uint64)) - 1))
-                     << ((64 - sp) & 63), 0)
-    np.bitwise_or.at(W, w + 1, spill.astype(np.uint64))
+                     (vals & ((np.uint64(1) << sp) - np.uint64(1)))
+                     << ((np.uint64(64) - sp) & np.uint64(63)),
+                     np.uint64(0))
+    np.bitwise_or.at(W, w + 1, spill)
     return W.byteswap().tobytes()[: (total + 7) // 8]
 
 

@@ -342,16 +342,19 @@ void hist_u8(const uint8_t* data, int64_t n, uint64_t* out256) {
 // alphabet directly (sym < 256 — writing u8 saves the caller an
 // 8M-element astype; a packed one-u64-per-slot table variant measured
 // SLOWER than the three separate L1-resident tables, so keep these).
-void tans_decode(const uint8_t* payload, int64_t total_bits, int64_t n,
-                 const uint32_t* sym, const uint8_t* nbt,
-                 const uint32_t* base, int64_t L,
-                 const uint32_t* states_in, uint8_t* out) {
+int64_t tans_decode(const uint8_t* payload, int64_t total_bits,
+                    int64_t n, const uint32_t* sym, const uint8_t* nbt,
+                    const uint32_t* base, int64_t L,
+                    const uint32_t* states_in, uint8_t* out) {
     uint32_t st[TANS_STATES];
     for (int i = 0; i < TANS_STATES; i++) st[i] = states_in[i];
     int64_t cur = total_bits;
     for (int64_t i = 0; i < n; i++) {
         uint32_t x = st[i & 3];
         int64_t p = (int64_t)x - L;
+        // corrupt wire data (header states / bit count) must fail, not
+        // read out of bounds — the predictable-untaken checks cost ~2%
+        if ((uint64_t)p >= (uint64_t)L || cur < nbt[p]) return -1;
         out[i] = (uint8_t)sym[p];
         int nb = nbt[p];
         cur -= nb;
@@ -361,6 +364,7 @@ void tans_decode(const uint8_t* payload, int64_t total_bits, int64_t n,
                                    & ((1u << nb) - 1));
         st[i & 3] = base[p] + bits;
     }
+    return 0;
 }
 
 }  // extern "C"

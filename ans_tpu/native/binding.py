@@ -46,7 +46,7 @@ class NativeLib:
                                   _u32p, _u8p, ct.c_int64]
         c.hist_u8.restype = None
         c.hist_u8.argtypes = [_u8p, ct.c_int64, _u64p]
-        c.tans_decode.restype = None
+        c.tans_decode.restype = ct.c_int64
         c.tans_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u32p,
                                   _u8p, _u32p, ct.c_int64, _u32p, _u8p]
         c.ans_interp_encode.restype = ct.c_int64
@@ -187,9 +187,12 @@ class NativeLib:
         # 8-byte read slack past any bit position
         arr = np.zeros(len(payload) + 8, np.uint8)
         arr[: len(payload)] = np.frombuffer(payload, np.uint8)
-        self._c.tans_decode(arr, total_bits, n, t["sym"], t["nbt"],
-                            t["base"], int(t["L"]),
-                            np.asarray(states, np.uint32), out)
+        rc = self._c.tans_decode(arr, total_bits, n, t["sym"], t["nbt"],
+                                 t["base"], int(t["L"]),
+                                 np.asarray(states, np.uint32), out)
+        if rc < 0:
+            raise ValueError("corrupt tans stream (state or bit "
+                             "underrun)")
         return out
 
     def hist_u8(self, data: np.ndarray) -> np.ndarray:

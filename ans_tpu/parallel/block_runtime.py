@@ -94,7 +94,7 @@ class BlockCodec:
         self.h_approx = h_approx if h_approx is not None else h_m
         self.method = method
         self.mesh = mesh or make_mesh()
-        self.lanes = lanes
+        self.lanes = config.validate_lanes(lanes)
         self.axis = self.mesh.axis_names[0]
         env = os.environ.get("ANS_TPU_BLOCK_ENGINE")
         if env:
@@ -261,29 +261,19 @@ class BlockCodec:
     # -- host orchestration ------------------------------------------------
 
     def _reorder_remap(self, values: np.ndarray):
-        """rfold host pass: map the thres most frequent raw values to the
-        low ids (reference ans_reorder_fold.hpp:craft_reorder).  Returns
-        (remapped values, header bytes)."""
-        thres = fold_threshold(self.fidelity)
-        counts = np.bincount(values)
-        present = np.flatnonzero(counts)
-        header = bytearray()
-        if len(present) < thres:
-            header += (0).to_bytes(4, "little")
-            return values, bytes(header)
-        order = np.lexsort((present, -counts[present]))
-        top = present[order[:thres]].astype(np.uint32)
-        mapping = (np.arange(len(counts), dtype=np.uint32)
-                   + np.uint32(thres))
-        mapping[top] = np.arange(thres, dtype=np.uint32)
-        header += (1).to_bytes(4, "little")
-        header += top.astype("<u4").tobytes()
-        return mapping[values], bytes(header)
+        """rfold host pass (shared craft_reorder; see
+        reference_model/mappings.py).  Returns (remapped values,
+        header bytes)."""
+        from ..reference_model.mappings import craft_reorder
+        return craft_reorder(values, self.fidelity)
 
-    def encode(self, values, hist_override=None) -> bytes:
+    def encode(self, values, hist_override=None, premapped=None) -> bytes:
         """hist_override: a precomputed GLOBAL symbol histogram (the
         multi-host runtime passes the cross-process allreduce so every
-        shard derives the same model; parallel/multihost.py)."""
+        shard derives the same model; parallel/multihost.py).
+        premapped: the (mapped, k, b) device arrays from a prior
+        _map_hist_program run over the same values at the same
+        sigma_cap, so multi-host encode doesn't pay the map pass twice."""
         values = np.ascontiguousarray(values, dtype=np.uint32)
         n = len(values)
         if n == 0:
@@ -301,7 +291,11 @@ class BlockCodec:
         sigma_cap = self._sigma_cap or (int(values.max()) + 1)
         if hist_override is not None:
             sigma_cap = max(sigma_cap, len(hist_override))
-        mapped, k, b, hist = self._map_hist_program(sigma_cap)(vals)
+        if premapped is not None:
+            mapped, k, b = premapped
+            hist = None
+        else:
+            mapped, k, b, hist = self._map_hist_program(sigma_cap)(vals)
         freqs = (np.asarray(hist) if hist_override is None
                  else np.asarray(hist_override)).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
@@ -353,7 +347,10 @@ class BlockCodec:
 
     def _encode_pallas_ok(self, et, S: int) -> bool:
         M = et.frame_size
-        return (S >= 128 and S % 128 == 0 and 2 <= M <= (1 << 22)
+        # S/128 power-of-two: placement kernel row->(step,row) math
+        return (S >= 128 and S % 128 == 0
+                and (S // 128) & (S // 128 - 1) == 0
+                and 2 <= M <= (1 << 22)
                 and len(et.freq) <= (1 << 13)
                 and int(et.freq.max()) < M)
 

@@ -95,25 +95,44 @@ class MultiHostBlockCodec:
         return np.asarray(multihost_utils.process_allgather(
             hist_local)).sum(axis=0)
 
+    def _global_cap(self, local_max: int) -> int:
+        """Cross-process max of the per-shard value maxima (a second
+        tiny fixed-shape DCN collective) — uncapped kinds (ANS/sint)
+        size the histogram by the data, and the allgathered histograms
+        must have ONE global shape."""
+        if jax.process_count() == 1:
+            return local_max + 1
+        from jax.experimental import multihost_utils
+        allmax = np.asarray(multihost_utils.process_allgather(
+            np.array([local_max], dtype=np.int64)))
+        return int(allmax.max()) + 1
+
     def encode_local(self, values_local) -> bytes:
         """Encode this process's slice into its container shard.  The
         shared model comes from the GLOBAL histogram so shards agree."""
         values_local = np.ascontiguousarray(values_local, dtype=np.uint32)
         kind = self.codec.kind
-        cap = self.codec._sigma_cap or (int(values_local.max()) + 1)
+        cap = self.codec._sigma_cap or self._global_cap(
+            int(values_local.max()))
         if kind == "rfold":
             raise NotImplementedError(
                 "rfold's global reorder needs the full value histogram; "
                 "use ANSfold-f in the multi-host runtime")
-        # local map+hist through the per-process mesh program
+        # ONE local map+hist pass through the per-process mesh program;
+        # the map outputs are handed to encode() so it is not re-run
         D = self.codec.mesh.devices.size
         B = -(-len(values_local) // D)
         vals = np.zeros(D * B, dtype=np.uint32)
         vals[: len(values_local)] = values_local
-        _, _, _, hist = self.codec._map_hist_program(cap)(
+        mapped, k, b, hist = self.codec._map_hist_program(cap)(
             vals.reshape(D, B))
         hist = self._global_hist(np.asarray(hist))
-        return self.codec.encode(values_local, hist_override=hist)
+        # pad the global hist to the cap so encode()'s sigma_cap (=
+        # len(hist_override)) matches the cap the map pass used
+        if len(hist) < cap:
+            hist = np.pad(hist, (0, cap - len(hist)))
+        return self.codec.encode(values_local, hist_override=hist,
+                                 premapped=(mapped, k, b))
 
     def decode_local(self, shard: bytes, n_local: int) -> np.ndarray:
         return self.codec.decode(shard, n_local)

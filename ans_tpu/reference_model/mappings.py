@@ -100,3 +100,25 @@ def fold_unmap_high(sym, fidelity: int):
 def fold_unmap_exception_bytes(sym, fidelity: int):
     """# exception bytes for a folded id (ans_fold.hpp:165-175)."""
     return fold_unmap_high(sym, fidelity)[1]
+
+
+def craft_reorder(values: np.ndarray, fidelity: int):
+    """rfold reorder pass: remap the `fold_threshold(f)` most-frequent
+    raw values to the low ids (reference ans_reorder_fold.hpp
+    craft_reorder; order = std::sort over (first=-count, second=sym)).
+    Returns (remapped u32 values, wire header: u32 reorder flag
+    [+ thres u32 top symbols]).  Shared by the compat and lane engines,
+    the block runtime, and the benchmark harness — the header bytes are
+    format, so there is exactly one implementation."""
+    thres = fold_threshold(fidelity)
+    max_raw = int(values.max()) if len(values) else 0
+    counts = np.bincount(values, minlength=max_raw + 1)
+    present = np.flatnonzero(counts)
+    if len(present) < thres:
+        return values, (0).to_bytes(4, "little")
+    order = np.lexsort((present, -counts[present]))
+    top = present[order[:thres]].astype(np.uint32)
+    mapping = np.arange(max_raw + 1, dtype=np.uint32) + np.uint32(thres)
+    mapping[top] = np.arange(thres, dtype=np.uint32)
+    return mapping[values], ((1).to_bytes(4, "little")
+                             + top.astype("<u4").tobytes())

@@ -316,24 +316,7 @@ class AnsReorderFold:
     def encode(self, values) -> bytes:
         values = np.asarray(values, dtype=np.uint32)
         f = self.fidelity
-        thres = fold_threshold(f)  # == no_except_thres (2**(fidelity+7))
-        max_raw = int(values.max()) if len(values) else 0
-        counts = np.bincount(values, minlength=max_raw + 1)
-        present = np.flatnonzero(counts)
-        sigma = len(present)
-        header = bytearray()
-        if sigma < thres:
-            remapped = values
-            header += (0).to_bytes(4, "little")
-        else:
-            # sort by (-count, sym): std::sort over (first=-count, second=sym)
-            order = np.lexsort((present, -counts[present]))
-            top = present[order[:thres]].astype(np.uint32)
-            mapping = np.arange(max_raw + 1, dtype=np.uint32) + np.uint32(thres)
-            mapping[top] = np.arange(thres, dtype=np.uint32)
-            remapped = mapping[values]
-            header += (1).to_bytes(4, "little")
-            header += top.astype("<u4").tobytes()
+        remapped, header = mappings.craft_reorder(values, f)
         mapped = mappings.fold_map(remapped, f)
         k, b = mappings.fold_exceptions(remapped, f)
         max_sym = int(mapped.max())

@@ -86,3 +86,23 @@ def test_shuff_single_and_skewed():
     skew = np.r_[np.zeros(10000), np.arange(40)].astype(np.uint32)
     _roundtrip("shuff", skew)
     _roundtrip("arith", skew)
+
+
+def test_shuff_pure_python_fallback_matches_native():
+    """The numpy packer/decoder must work (and emit identical bytes)
+    when libansnative.so is absent — regression for a uint64/int64
+    shift-type crash in _pack_msb_numpy."""
+    import ans_tpu.models.shuff as sh
+    vals = (np.random.default_rng(21).zipf(1.3, 20000) - 1).astype(
+        np.uint32)
+    c = sh.Shuff()
+    native_blob = c.encode(vals)
+    orig = sh._native
+    sh._native = lambda: None
+    try:
+        py_blob = c.encode(vals)
+        assert py_blob == native_blob
+        np.testing.assert_array_equal(c.decode(native_blob, len(vals)),
+                                      vals)
+    finally:
+        sh._native = orig

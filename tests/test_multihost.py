@@ -45,6 +45,19 @@ for i, s in enumerate(shards):
     l2, h2 = i * per, min((i + 1) * per, len(values))
     np.testing.assert_array_equal(codec.decode_local(s, h2 - l2),
                                   values[l2:h2])
+
+# uncapped kind (ANS): per-shard maxima deliberately differ, so the
+# histogram shape must come from the GLOBAL max collective
+v2 = np.where(np.arange(len(values)) < 8000, values % 64,
+              values % 100000).astype(np.uint32)
+codec2 = mh.MultiHostBlockCodec("ANS", lanes=32)
+shard2 = codec2.encode_local(v2[lo:hi])
+np.testing.assert_array_equal(codec2.decode_local(shard2, hi - lo),
+                              v2[lo:hi])
+for i, s in enumerate(mh.gather_container(shard2)):
+    l2, h2 = i * per, min((i + 1) * per, len(v2))
+    np.testing.assert_array_equal(codec2.decode_local(s, h2 - l2),
+                                  v2[l2:h2])
 print("MULTIHOST_OK", pid, flush=True)
 """
 

@@ -133,3 +133,28 @@ def test_pallas_encode_single_symbol_freq():
         np.asarray(pstates).view(np.uint32), np.asarray(xstates))
     np.testing.assert_array_equal(np.asarray(ps[: int(xt)]),
                                   np.asarray(xs[: int(xt)]))
+
+
+def test_lanes_must_be_power_of_two():
+    """The fmt-2 header stores log2(S) and the placement kernel maps
+    rows to (step, row) with shifts/masks that assume R = S/128 is a
+    power of two — non-pow2 lane counts must be rejected up front
+    (regression: lanes=384 previously reached the engines and either
+    crashed in framing.pack or, on TPU, emitted a corrupt stream)."""
+    import numpy as np
+    import pytest
+    from ans_tpu.models.ans import AnsFold
+    from ans_tpu.parallel import BlockCodec, make_mesh
+    with pytest.raises(ValueError, match="power of two"):
+        AnsFold(2, lanes=384)
+    with pytest.raises(ValueError, match="power of two"):
+        BlockCodec("ANSfold-2", make_mesh(1), lanes=384)
+    from ans_tpu.models.engine import encode_pallas_ok
+    from ans_tpu.ops import tables
+    from ans_tpu.reference_model.model import adjust_freqs
+    freqs = np.ones(300, np.uint64)
+    et = tables.build_enc_table(adjust_freqs(freqs, 299, True, 1))
+    codec = BlockCodec("ANSfold-2", make_mesh(1), lanes=256,
+                       engine="pallas")
+    assert not codec._encode_pallas_ok(et, 384)
+    assert codec._encode_pallas_ok(et, 256)

@@ -104,3 +104,27 @@ def test_native_hist_u8_matches_bincount():
         np.bincount(data, minlength=256).astype(np.uint64))
     np.testing.assert_array_equal(
         native.lib.hist_u8(data[:0]), np.zeros(256, np.uint64))
+
+
+def test_native_decode_rejects_corrupt_streams():
+    """Wire-supplied states/bit-count must fail cleanly, never read out
+    of the table or before the payload buffer."""
+    from ans_tpu import native
+    if native.lib is None:
+        pytest.skip("native backend not built")
+    data = CASES["zipf"](np.random.default_rng(17)).tobytes()
+    bt = tans.ByteTans()
+    blob = bt.encode(data)
+    from ans_tpu.constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
+    from ans_tpu.reference_model import interp
+    _, words = interp.decode(blob, BYTE_MAX_SIGMA,
+                             BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
+    off = words * 4
+    bad_state = bytearray(blob)
+    bad_state[off + 1] = 0xFF            # state 0 far beyond the table
+    with pytest.raises(ValueError):
+        bt.decode(bytes(bad_state), len(data))
+    bad_bits = bytearray(blob)
+    bad_bits[off + 8:off + 16] = (5).to_bytes(8, "little")
+    with pytest.raises(ValueError):
+        bt.decode(bytes(bad_bits), len(data))
