@@ -66,7 +66,7 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
         total = int(total)
         t_sec, sec_len = framing.choose_sections(
             np.asarray(round_base)[::6], total, T)
-        NR = 2 if et.log2m <= 16 else 3
+        NR = tables.max_renorm_rounds(et.log2m)
         NE = int(jnp.max(nb_ts)) if nb_dev is not None else 0
         tc_max = 128 if S <= 2048 else (64 if S <= 4096 else 32)
         secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
@@ -94,9 +94,8 @@ def _decode_stream(buf: bytes, off: int, n: int,
     T = lane_codec.lane_steps(n, S)
     has_exc = dt.high is not None
     from . import engine as _engine
-    out = _engine.decode(payload, states, dt, n, S=S, T=T,
-                         has_exc=has_exc, t_sec=t_sec, sec_len=sec_len)
-    return np.asarray(out).reshape(-1)[:n].astype(np.uint32)
+    return _engine.decode(payload, states, dt, n, S=S, T=T,
+                          has_exc=has_exc, t_sec=t_sec, sec_len=sec_len)
 
 
 def _require_nonempty(values):

@@ -29,18 +29,24 @@ from ..ops import lane_codec, tables
 PALLAS_MAX_FRAME = 1 << 16
 
 
+def _pallas_env_ok(S: int) -> bool:
+    """Shared environment/shape gate for every Pallas lane path: not
+    disabled, a real TPU backend, and S filling whole vector rows."""
+    return (not os.environ.get("ANS_TPU_NO_PALLAS")
+            and jax.default_backend() == "tpu"
+            and S >= 128 and S % 128 == 0)
+
+
 def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
     """Pallas encode scan applies when ub stays below 2^31 (max freq
     < M <= 2^22; M <= 2^16 packs freq<<16|base in one word, larger
     frames split the tables), the alphabet's shuffle-lookup stays
     bounded, and lanes fill whole vector rows."""
-    if os.environ.get("ANS_TPU_NO_PALLAS"):
-        return False
-    if jax.default_backend() != "tpu":
+    if not _pallas_env_ok(S):
         return False
     # R = S/128 must be a power of two: the placement kernel maps rows
     # to (step, row) with `rowGR >> logR` / `rowGR & (R-1)`
-    if S % 128 or S < 128 or ((S // 128) & (S // 128 - 1)):
+    if (S // 128) & (S // 128 - 1):
         return False
     M = et.frame_size
     if M < 2 or M > (1 << 22):
@@ -51,11 +57,7 @@ def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
 
 
 def _pallas_ok(dt: tables.DecTable, S: int) -> bool:
-    if os.environ.get("ANS_TPU_NO_PALLAS"):
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    if S % 128 or S < 128:
+    if not _pallas_env_ok(S):
         return False
     if int(dt.freq.max()) >= 1 << 16:
         return False  # freq|offset word packing needs u16 fields
@@ -90,8 +92,7 @@ def choose_decode_engine(dt: tables.DecTable, S: int) -> str:
     env = os.environ.get("ANS_TPU_DECODE_ENGINE")
     if env:
         return env
-    if (os.environ.get("ANS_TPU_NO_PALLAS")
-            or jax.default_backend() != "tpu" or S % 128 or S < 128):
+    if not _pallas_env_ok(S):
         return "xla"
     direct = (6 * -(-dt.frame_size // 128) if _pallas_ok(dt, S)
               else None)
@@ -149,10 +150,11 @@ class PreparedDecoder:
 
 def decode(payload: np.ndarray, states: np.ndarray, dt: tables.DecTable,
            n: int, *, S: int, T: int, has_exc: bool,
-           t_sec: int | None = None, sec_len=None):
+           t_sec: int | None = None, sec_len=None) -> np.ndarray:
+    """One-shot: stage, run, and return the trimmed host u32 array."""
     prep = PreparedDecoder(payload, states, dt, n, S=S, T=T,
                            has_exc=has_exc, t_sec=t_sec, sec_len=sec_len)
-    return prep()
+    return prep.to_host(prep())
 
 
 class PreparedEncoder:
@@ -168,9 +170,7 @@ class PreparedEncoder:
 
     def __init__(self, mapped_ts, nb_ts, excb_ts, n: int,
                  et: tables.EncTable, *, S: int, T: int, G: int = 16):
-        import jax.numpy as jnp
-
-        from ..ops import lane_codec, pallas_encode, pallas_place
+        from ..ops import pallas_encode, pallas_place
         from . import framing
         if not encode_pallas_ok(et, S):
             raise ValueError("PreparedEncoder needs the Pallas encode "
@@ -186,7 +186,7 @@ class PreparedEncoder:
         self.total = int(total)
         self.t_sec, self.sec_len = framing.choose_sections(
             np.asarray(round_base)[::6], self.total, T)
-        self.NR = 2 if et.log2m <= 16 else 3
+        self.NR = tables.max_renorm_rounds(et.log2m)
         self.NE = int(jnp.max(nb_ts))
         self._n32 = jnp.int32(n)
 

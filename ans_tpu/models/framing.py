@@ -63,16 +63,29 @@ def overhead_bytes(S: int, nsec: int = 1) -> int:
     return 12 + 4 * nsec + 4 * S
 
 
-def sections_at(step_base: np.ndarray, total: int, T: int,
-                t_sec: int) -> np.ndarray:
-    """Section byte lengths for a FIXED t_sec (the block runtime forces
-    one t_sec across all mesh devices so the decode grid is uniform)."""
+def choose_sections_joint(step_bases, totals, T: int,
+                          cap_bytes: int = 3 << 20, quantum: int = 32):
+    """One t_sec valid for EVERY device's stream (the block runtime
+    forces a uniform decode grid across the mesh).  Taking min() of
+    per-device choose_sections results is NOT safe: the halving chain
+    is not a divisor chain, so a smaller t_sec re-cuts a stream at
+    boundaries it never validated and a section straddling a validated
+    cut can reach ~2x cap_bytes (VMEM OOM at decode).  Returns
+    (t_sec, [per-device sec_len arrays])."""
     if T == 0:
-        return np.array([total], dtype=np.int64)
-    bounds = np.append(step_base, total)
-    cuts = np.arange(0, T, t_sec)
-    ends = np.minimum(cuts + t_sec, T)
-    return (bounds[ends] - bounds[cuts]).astype(np.int64)
+        return quantum, [np.array([int(t)], dtype=np.int64)
+                         for t in totals]
+    t_sec = -(-T // quantum) * quantum
+    boundss = [np.append(sb, int(tot))
+               for sb, tot in zip(step_bases, totals)]
+    while True:
+        cuts = np.arange(0, T, t_sec)
+        ends = np.minimum(cuts + t_sec, T)
+        lens = [b[ends] - b[cuts] for b in boundss]
+        if (max(int(ln.max()) for ln in lens) <= cap_bytes
+                or t_sec <= quantum):
+            return t_sec, [ln.astype(np.int64) for ln in lens]
+        t_sec = max(quantum, (t_sec // 2 // quantum) * quantum)
 
 
 def choose_sections(step_base: np.ndarray, total: int, T: int,

@@ -53,15 +53,6 @@ def lane_steps(n: int, S: int) -> int:
     return -(-n // S) if n else 0
 
 
-def stage(arr: np.ndarray, S: int, T: int, fill=0) -> np.ndarray:
-    """Pad a length-n array to S*T and reshape to (T, S): element (t, l)
-    is position t*S + l."""
-    n = arr.shape[0]
-    out = np.full((T * S,) + arr.shape[1:], fill, dtype=arr.dtype)
-    out[:n] = arr
-    return out.reshape((T, S) + arr.shape[1:])
-
-
 # --------------------------------------------------------------------------
 # encode
 # --------------------------------------------------------------------------
@@ -108,8 +99,7 @@ def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
         new_state = (q << jnp.uint32(log2m)) + r + b
         st = jnp.where(valid, new_state, state)
         rc = sum(m.astype(jnp.int32) for m in rmask)
-        out = (jnp.where(valid, nb_v + rc, 0).astype(jnp.int32),  # counts
-               rc, nb_v,
+        out = (rc, nb_v,
                jnp.stack(rbytes, axis=-1),          # (S, 3)
                jnp.stack(rmask, axis=-1),           # (S, 3) bool
                excb_t)                              # (S, 3)
@@ -118,7 +108,7 @@ def encode_lanes_impl(mapped, nb, excb, n, freq, base, ub, *, S, T, log2m):
     ts = jnp.arange(T, dtype=jnp.int32)
     init = jnp.full((S,), A_L, dtype=U32)
     # encode walks positions backwards: scan steps T-1 .. 0
-    states, (counts, rc, nb_all, rbytes, rmask, excb_all) = jax.lax.scan(
+    states, (rc, nb_all, rbytes, rmask, excb_all) = jax.lax.scan(
         step, init, (ts, mapped, nb, excb), reverse=True)
 
     stream, total, step_base = place_stream_parts(

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tables import A_L
+from .tables import A_L, max_renorm_rounds
 
 
 def _lookup(rows, idx, Mr, B):
@@ -464,7 +464,7 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
     else:
         w2 = dummy
         w3 = dummy
-    NR = 2 if st.log2m <= 16 else 3
+    NR = max_renorm_rounds(st.log2m)
     NE = int(st.nb.max()) if has_exc else 0
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
     sec_len = np.asarray(sec_len, dtype=np.int64)
@@ -560,7 +560,7 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     # static round counts: M <= 2^16 means at most 2 renorm reads
     # (state >= 2^23/M >= 2^7 after a decode step; two 8-bit refills
     # always reach L = 2^23); exception rounds bounded by the table
-    NR = 2 if dt.log2m <= 16 else 3
+    NR = max_renorm_rounds(dt.log2m)
     NE = int(dt.nb.max()) if has_exc else 0
     # window: one slice per step covering all rounds (<= (NR+NE)S bytes)
     WR = -(-(512 + (NR + NE) * S) // 512) + 1

@@ -20,6 +20,15 @@ from ..constants import A_KM_LOG2, A_MAX_FRAME_LOG2
 A_L = 1 << A_KM_LOG2
 
 
+def max_renorm_rounds(log2m: int) -> int:
+    """Renorm byte reads per decode step: after a step the state is
+    >= L/M = 2^(23-log2m), so refilling 8 bits at a time reaches
+    L = 2^23 in at most ceil((log2m)/8)+... concretely 2 reads suffice
+    while M <= 2^16, 3 beyond.  Encoder placement and decoder reads
+    MUST agree on this bound — every user calls this one helper."""
+    return 2 if log2m <= 16 else 3
+
+
 @dataclass(frozen=True)
 class EncTable:
     """Per-symbol encode table (index = mapped symbol id).

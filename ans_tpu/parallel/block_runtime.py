@@ -386,17 +386,14 @@ class BlockCodec:
         round_base = np.asarray(round_base)
         totals = np.asarray(totals)
 
-        # one t_sec across the mesh: min of the per-device choices
-        t_sec = None
-        for d in range(D):
-            ts, _ = framing.choose_sections(round_base[d][::6],
-                                            int(totals[d]), T)
-            t_sec = ts if t_sec is None else min(t_sec, ts)
-        sec_lens = [framing.sections_at(round_base[d][::6],
-                                        int(totals[d]), T, t_sec)
-                    for d in range(D)]
+        # one t_sec across the mesh, validated against EVERY device's
+        # byte distribution (min of per-device choices could straddle
+        # an unvalidated cut and exceed the VMEM section cap)
+        t_sec, sec_lens = framing.choose_sections_joint(
+            [round_base[d][::6] for d in range(D)],
+            [int(totals[d]) for d in range(D)], T)
         NSEC = len(sec_lens[0])
-        NR = 2 if et.log2m <= 16 else 3
+        NR = tables.max_renorm_rounds(et.log2m)
         NE = int(jnp.max(nb_ts))
         Gp = G
         while t_sec % Gp:
@@ -516,7 +513,7 @@ class BlockCodec:
                 which = "direct"
         if which == "xla":
             return None
-        NR = 2 if dt.log2m <= 16 else 3
+        NR = tables.max_renorm_rounds(dt.log2m)
         NE = int(dt.nb.max()) if has_exc else 0
         WR = -(-(512 + (NR + NE) * S) // 512) + 1
         sw = max(int(np.asarray(s[4]).max()) for s in secs) + WR * 512

@@ -34,8 +34,12 @@ N = 1 << 25
 SEED = 42
 NUM_RUNS = 5
 METHOD = "ANSfold-2"
-LANES = 2048
-TC = 256
+# S/TC profile: with the split-window stream gather the per-channel
+# window is S-independent-ish (6->10 rows), so larger S amortizes the
+# per-step skeleton further: measured 645M at S=4096/TC=128 vs 485-542M
+# at S=2048 (docs/PERF.md)
+LANES = 4096
+TC = 128
 
 
 def make_data():
