@@ -19,14 +19,16 @@ def validate_lanes(lanes: int | None) -> int | None:
 
 
 def default_lane_count(n: int, min_lanes: int = 32,
-                       max_lanes: int = 2048) -> int:
+                       max_lanes: int = 4096) -> int:
     """Lanes S for an n-element block.
 
     Each lane costs 4 bytes of flushed state, so S ~ n/12800 keeps the
-    overhead small while exposing thousands of parallel states.  The cap
-    is 2048: the Pallas decode sweep showed S in {1024, 2048} fastest on
-    TPU v5e (larger S grows VMEM pressure and per-step vector width
-    without throughput gain).  Power of two, clamped.
+    overhead small while exposing thousands of parallel states.  The
+    cap is 4096: with the split-window stream gather the per-channel
+    window no longer grows with S, and the v5e sweep (docs/PERF.md)
+    measured S=4096 decode 1.3x faster than S=2048 (S=8192 exceeds
+    placement VMEM).  The n/12800 rule only reaches 4096 at n >= ~27M,
+    where the 16KB state flush is < 0.01 bpi.  Power of two, clamped.
     """
     if n <= 0:
         return min_lanes

@@ -92,7 +92,8 @@ def test_lane_size_near_compat(datasets):
 
 def test_lane_count_config():
     assert config.default_lane_count(100) == 32
-    assert config.default_lane_count(100_000_000) == 2048  # capped
+    assert config.default_lane_count(100_000_000) == 4096  # capped
+    assert config.default_lane_count(20_000_000) == 2048
     s = config.default_lane_count(10_000_000)
     assert s & (s - 1) == 0
 
