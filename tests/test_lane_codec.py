@@ -128,3 +128,30 @@ def test_prepared_decoder_api(datasets):
                            has_exc=True, t_sec=t_sec, sec_len=sec_len)
     for _ in range(2):  # re-runnable without re-staging
         np.testing.assert_array_equal(prep.to_host(prep()), v)
+
+
+def test_choose_sections_joint_respects_cap_for_every_device():
+    """min() of per-device choose_sections results can straddle an
+    unvalidated cut and reach ~2x the cap (regression).  The joint
+    chooser must return one t_sec whose sections respect the cap on
+    EVERY device's byte distribution."""
+    from ans_tpu.models import framing
+    cap = 1000
+    T = 320
+    # device A: bytes concentrated right around step 160 (its own
+    # choice would be t_sec=160: sections [0,160) and [160,320) both
+    # just under the cap)
+    base_a = np.zeros(T, dtype=np.int64)
+    base_a[128:160] = np.linspace(0, 999, 32, dtype=np.int64)
+    base_a[160:192] = 999 + np.linspace(0, 999, 32, dtype=np.int64)
+    base_a[192:] = 1998
+    # device B: uniform spread, forces a smaller t_sec
+    base_b = np.linspace(0, 12000, T, endpoint=False, dtype=np.int64)
+    t_sec, lens = framing.choose_sections_joint(
+        [base_a, base_b], [1998, 12000], T, cap_bytes=cap, quantum=32)
+    for ln in lens:
+        assert ln.max() <= cap or t_sec == 32
+    assert T % t_sec == 0 or t_sec == 32
+    # per-device totals preserved
+    assert int(lens[0].sum()) == 1998
+    assert int(lens[1].sum()) == 12000
