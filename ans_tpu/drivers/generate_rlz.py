@@ -30,30 +30,52 @@ def rlz_factorize(text: np.ndarray, dict_bytes: np.ndarray):
     T = np.asarray(text, dtype=np.uint8)
     sa = bwt.suffix_array(D)
     nd = len(D)
-    # suffixes sorted; match by repeated binary-search range narrowing:
-    # maintain [lo, hi) of suffixes matching the current factor prefix
+    Di = D.astype(np.int32)
+
+    def lower_bound(lo, hi, depth, c):
+        # suffixes in [lo, hi) share a depth-length prefix, so their
+        # depth-th chars are sorted; exhausted suffixes sort first
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            p = int(sa[mid]) + depth
+            key = int(D[p]) if p < nd else -1
+            if key < c:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    # maintain [lo, hi) of suffixes matching the current factor prefix;
+    # wide ranges narrow by O(log) binary search (a full-range scan per
+    # depth step is quadratic on run-heavy dictionaries), small ranges
+    # by one vectorized compare
     lens, offs = [], []
     i = 0
     n = len(T)
-    sa_list = sa
     while i < n:
         lo, hi = 0, nd
         depth = 0
         best = 0
         best_suf = -1
         while i + depth < n and lo < hi:
-            c = T[i + depth]
-            # narrow [lo, hi) to suffixes whose depth-th char == c
-            col = D[np.minimum(sa_list[lo:hi] + depth, nd - 1)]
-            valid = sa_list[lo:hi] + depth < nd
-            keys = np.where(valid, col.astype(np.int32), -1)
-            inner = np.flatnonzero(keys == c)
-            if len(inner) == 0:
+            c = int(T[i + depth])
+            if hi - lo > 64:
+                lo2 = lower_bound(lo, hi, depth, c)
+                hi2 = lower_bound(lo2, hi, depth, c + 1)
+            else:
+                pos = sa[lo:hi] + depth
+                keys = np.where(pos < nd,
+                                Di[np.minimum(pos, nd - 1)], -1)
+                inner = np.flatnonzero(keys == c)
+                if len(inner) == 0:
+                    break
+                lo2, hi2 = lo + int(inner[0]), lo + int(inner[-1]) + 1
+            if lo2 >= hi2:
                 break
-            lo, hi = lo + int(inner[0]), lo + int(inner[-1]) + 1
+            lo, hi = lo2, hi2
             depth += 1
             best = depth
-            best_suf = int(sa_list[lo])
+            best_suf = int(sa[lo])
         if best == 0:
             lens.append(0)
             offs.append(int(T[i]))

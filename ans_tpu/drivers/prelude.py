@@ -12,11 +12,11 @@ from .. import models
 from . import _cli
 
 
-def run(values, name: str, engine: str = "lane"):
+def run(values, name: str, engine: str = "lane", methods=None):
     max_sym = int(values.max())
     print(f"processing {name}")
     print(f"\tmax_sym = {max_sym}")
-    for method in ("ANS", "ANSmsb", "ANSfold-2"):
+    for method in methods or ("ANS", "ANSmsb", "ANSfold-2"):
         codec = models.get(method, engine)
         blob = codec.encode(values)
         _, plen = load_prelude(blob)
@@ -29,8 +29,9 @@ def run(values, name: str, engine: str = "lane"):
 def main(argv=None):
     p = _cli.make_parser("prelude statistics", methods_arg=True)
     args = p.parse_args(argv)
+    methods = tuple(args.methods.split(",")) if args.methods else None
     for name, values in _cli.load_inputs(args):
-        run(values, name, getattr(args, "engine", "lane"))
+        run(values, name, getattr(args, "engine", "lane"), methods)
 
 
 if __name__ == "__main__":

@@ -9,13 +9,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..models.config import next_pow2
 from ..reference_model import interp
 from ..utils import metrics
 from . import _cli
-
-
-def next_pow2(x):
-    return 1 << max(0, (int(x) - 1).bit_length())
 
 
 def rescale_study(values: np.ndarray, name: str):
@@ -25,8 +22,10 @@ def rescale_study(values: np.ndarray, name: str):
     counts = np.bincount(values, minlength=max_sym + 1)
     present = np.flatnonzero(counts)
     sigma = len(present)
-    # increasing (freq, sym) order, like the reference's sort on (-f, sym)
-    order = np.lexsort((present, counts[present]))
+    # decreasing-count order, ties by symbol: the reference sorts
+    # pairs (-count, sym) ascending (rescale_freqs.cpp:75-81); the
+    # blend ratio is index-asymmetric, so the order changes every row
+    order = np.lexsort((present, -counts[present]))
     F = counts[present][order].astype(np.int64)
     syms = present[order]
 

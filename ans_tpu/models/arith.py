@@ -30,22 +30,44 @@ _W = 64
 
 def _scale_counts(counts: np.ndarray, total_log2: int) -> np.ndarray:
     """Scale positive counts to sum exactly 2**total_log2, each >= 1
-    (model discipline of arith.hpp:210-241)."""
+    (model discipline of arith.hpp:210-241).  The correction is
+    vectorized: the old one-unit-at-a-time loop was O(sigma * |diff|)
+    and effectively hung on heavy-hitter histograms (one dominant
+    symbol + tens of thousands of singletons puts the whole deficit on
+    a single decrementable entry)."""
     target = 1 << total_log2
     c = counts.astype(np.float64)
     s = np.maximum((c * target / c.sum()).astype(np.int64), 1)
     diff = int(target - s.sum())
-    order = np.argsort(-s)
-    i = 0
-    while diff != 0:
-        j = order[i % len(order)]
-        if diff > 0:
-            s[j] += 1
-            diff -= 1
-        elif s[j] > 1:
-            s[j] -= 1
-            diff += 1
-        i += 1
+    if diff > 0:
+        # distribute the surplus round-robin, largest entries first
+        order = np.argsort(-s)
+        q, r = divmod(diff, len(s))
+        s += q
+        s[order[:r]] += 1
+    elif diff < 0:
+        # waterfill the deficit over the entries with room (s > 1):
+        # every giver gives min(room, k) for the smallest level k that
+        # covers the deficit, then the excess is returned
+        need = -diff
+        room = s - 1
+        rs = np.sort(room)
+        csum = np.concatenate(([0], np.cumsum(rs)))
+        m = len(rs)
+        lo, hi = 0, int(room.max())
+        while lo < hi:
+            mid = (lo + hi) // 2
+            j = int(np.searchsorted(rs, mid, side="left"))
+            if csum[j] + (m - j) * mid >= need:
+                hi = mid
+            else:
+                lo = mid + 1
+        give = np.minimum(room, lo)
+        excess = int(give.sum()) - need
+        if excess > 0:
+            cand = np.flatnonzero(give == lo)
+            give[cand[:excess]] -= 1
+        s -= give
     return s
 
 

@@ -9,7 +9,8 @@ in the repo"); this implementation adds the decoder, making the mode a
 real codec.  Single-symbol blocks skip entropy coding entirely
 (pseudo_adaptive.cpp:120).
 
-Container: u32 magic "ATFP" | u8 ver | u8 kind(0=int,1=msb) | u16 rsvd
+Container: u32 magic "ATFP" | u8 ver | u8 kind(0=int,1=msb)
+           | u8 engine(0=compat,1=lane; ver>=2) | u8 rsvd
            | u32 n | u32 block_size
 per block: u32 blob_len | vbyte(sigma_b) |
            sigma_b == 1 ? vbyte(symbol)
@@ -40,17 +41,22 @@ class PseudoAdaptive:
         self.engine = engine
         self.name = f"pseudo_adaptive-{kind}-{block_size}"
 
-    def _codec(self):
-        engine = self.engine
-        if engine == "auto":
-            # small blocks: per-block jit dispatch costs more than the
-            # native/compat host coder; large blocks: lane engine
-            engine = "lane" if self.block_size >= (1 << 16) else "compat"
+    def _resolve_engine(self, block_size: int) -> str:
+        if self.engine != "auto":
+            return self.engine
+        # small blocks: per-block jit dispatch costs more than the
+        # native/compat host coder; large blocks: lane engine
+        return "lane" if block_size >= (1 << 16) else "compat"
+
+    def _codec(self, kind: str, engine: str):
+        """Per-block codec.  decode() passes the HEADER's kind and
+        engine — the two wire-format facts — so any instance decodes
+        any ATFP container."""
         if engine == "compat":
             from ..reference_model import rans_compat
-            return (rans_compat.AnsInt() if self.kind == "int"
+            return (rans_compat.AnsInt() if kind == "int"
                     else rans_compat.AnsMsb())
-        if self.kind == "int":
+        if kind == "int":
             return lane_ans.AnsInt(lanes=self.lanes)
         return lane_ans.AnsMsb(lanes=self.lanes)
 
@@ -58,11 +64,13 @@ class PseudoAdaptive:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
+        engine = self._resolve_engine(self.block_size)
         out = bytearray()
-        out += struct.pack("<IBBHII", MAGIC, 1,
-                           0 if self.kind == "int" else 1, 0,
+        out += struct.pack("<IBBBBII", MAGIC, 2,
+                           0 if self.kind == "int" else 1,
+                           0 if engine == "compat" else 1, 0,
                            len(values), self.block_size)
-        codec = self._codec()
+        codec = self._codec(self.kind, engine)
         for off in range(0, len(values), self.block_size):
             block = values[off:off + self.block_size]
             alpha = np.unique(block)
@@ -83,12 +91,17 @@ class PseudoAdaptive:
         return bytes(out)
 
     def decode(self, blob: bytes, n: int | None = None) -> np.ndarray:
-        magic, ver, kind_id, _, n_stored, bs = struct.unpack_from(
-            "<IBBHII", blob, 0)
+        magic, ver, kind_id, eng_id, _, n_stored, bs = struct.unpack_from(
+            "<IBBBBII", blob, 0)
         if magic != MAGIC:
             raise ValueError("not an ATFP container")
         n = n_stored if n is None else n
-        codec = self._codec()
+        kind = "int" if kind_id == 0 else "msb"
+        # ver 1 containers did not record the engine; reconstruct it
+        # from the auto rule over the stored block size
+        engine = (("compat", "lane")[eng_id] if ver >= 2
+                  else ("lane" if bs >= (1 << 16) else "compat"))
+        codec = self._codec(kind, engine)
         out = np.empty(n, dtype=np.uint32)
         pos = 16
         off = 0

@@ -41,6 +41,8 @@ def bwt(seq: np.ndarray) -> tuple[np.ndarray, int]:
     152-158: bwt[i] = seq[sa[i]-1], with the first-suffix position
     recorded).  Returns (transformed, primary_index)."""
     s = np.asarray(seq)
+    if len(s) == 0:
+        raise ValueError("cannot BWT an empty sequence")
     sa = suffix_array(s)
     primary = int(np.flatnonzero(sa == 0)[0])
     return s[(sa - 1) % len(s)], primary
@@ -53,6 +55,10 @@ def mtf(seq: np.ndarray, sigma: int | None = None) -> np.ndarray:
     s = np.asarray(seq, dtype=np.int64)
     if sigma is None:
         sigma = int(s.max()) + 1 if len(s) else 0
+    elif len(s) and int(s.max()) >= sigma:
+        # the native path would index past its sigma-sized tables
+        raise ValueError(f"mtf: symbol {int(s.max())} out of range for "
+                         f"sigma={sigma}")
     from .. import native
     if native.lib is not None and len(s):
         return native.lib.mtf(s.astype(np.uint32), sigma)

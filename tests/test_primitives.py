@@ -111,3 +111,31 @@ def test_suffix_array_correct():
     sa = bwt.suffix_array(s)
     naive = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
     np.testing.assert_array_equal(sa, naive)
+
+
+def test_mtf_rejects_out_of_range_sigma():
+    """Explicit sigma smaller than the alphabet must raise, not write
+    out of bounds in the native backend (regression)."""
+    import pytest
+    with pytest.raises((ValueError, KeyError)):
+        bwt.mtf(np.array([5], dtype=np.uint32), sigma=3)
+
+
+def test_bwt_empty_raises():
+    import pytest
+    with pytest.raises(ValueError):
+        bwt.bwt(np.empty(0, dtype=np.uint8))
+
+
+def test_arith_scale_counts_heavy_hitter_fast():
+    """One dominant symbol + tens of thousands of singletons hung the
+    old one-unit-at-a-time correction loop (regression: now O(sigma
+    log sigma) waterfill)."""
+    import time
+    from ans_tpu.models.arith import _scale_counts
+    counts = np.concatenate([[10_000_000], np.ones(60_000)]).astype(
+        np.int64)
+    t0 = time.perf_counter()
+    s = _scale_counts(counts, 17)
+    assert time.perf_counter() - t0 < 2.0
+    assert int(s.sum()) == 1 << 17 and int(s.min()) >= 1

@@ -46,3 +46,22 @@ def test_adaptive_beats_global_on_drifting_data(drifting):
     adaptive = len(codec.encode(drifting))
     global_ = len(models.get("ANS", "compat").encode(drifting))
     assert adaptive < global_
+
+
+def test_any_instance_decodes_any_container():
+    """kind + engine are wire facts recorded in the ATFP header
+    (regression: decode used self.kind/self.block_size, so a
+    default-constructed instance mis-decoded or crashed on containers
+    from differently-configured encoders)."""
+    import numpy as np
+    from ans_tpu.models.pseudo_adaptive import PseudoAdaptive
+    rng = np.random.default_rng(9)
+    v = (rng.zipf(1.5, 5000) - 1).clip(0, 1 << 20).astype(np.uint32)
+    v[:600] += 300  # per-block sigma > 256 somewhere
+    for enc_cfg in [dict(block_size=1024, kind="msb"),
+                    dict(block_size=1 << 17, kind="int"),
+                    dict(block_size=2048, kind="int", engine="lane",
+                         lanes=32)]:
+        blob = PseudoAdaptive(**enc_cfg).encode(v)
+        out = PseudoAdaptive().decode(blob, len(v))   # default instance
+        np.testing.assert_array_equal(out, v)
