@@ -16,10 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
 from ..ops import bytesplit, lane_codec, tables
-from ..reference_model import interp
-from ..reference_model.rans_compat import byte_adjust_freqs
 from . import config, framing
 from .ans import _decode_stream, _encode_stream, _require_nonempty
 
@@ -110,24 +107,27 @@ class AnsByte:
         arr = np.frombuffer(data, dtype=np.uint8)
         if len(arr) == 0:
             raise ValueError("cannot encode an empty sequence")
+        import time as _time
+
         from .. import native
+        from ..reference_model.rans_compat import byte_prelude_encode
+        from ..utils.stats import record_stats
+        t0 = _time.perf_counter_ns()
         freqs = native.byte_histogram(arr)
-        nfreqs = byte_adjust_freqs(freqs)
-        increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
-        prelude = interp.encode(increasing, BYTE_MAX_SIGMA,
-                                BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
+        prelude, nfreqs = byte_prelude_encode(freqs)
+        t1 = _time.perf_counter_ns()
         stream = _encode_stream(jnp.asarray(arr.astype(np.uint32)), None,
                                 None, len(arr), nfreqs, self.lanes)
+        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=_time.perf_counter_ns() - t1)
         return prelude + stream
 
     def decode(self, buf: bytes, n: int) -> bytes:
-        vals, words = interp.decode(buf, BYTE_MAX_SIGMA,
-                                    BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
-        vals = np.asarray(vals, dtype=np.int64)
-        nfreqs = np.diff(np.concatenate(([-1], vals))) - 1
-        nfreqs[0] = vals[0]
+        from ..reference_model.rans_compat import byte_prelude_decode
+        nfreqs, off = byte_prelude_decode(buf)
         dt = tables.build_dec_table(nfreqs.astype(np.uint32))
-        out = _decode_stream(buf, words * 4, n, dt)
+        out = _decode_stream(buf, off, n, dt)
         return out.astype(np.uint8).tobytes()
 
 

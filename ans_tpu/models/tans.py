@@ -39,9 +39,6 @@ import numpy as np
 
 import time
 
-from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
-from ..reference_model import interp
-from ..reference_model.rans_compat import byte_adjust_freqs
 from ..utils.stats import record_stats
 
 _NSTATES = 4
@@ -99,21 +96,27 @@ def _encode_py(ids: np.ndarray, t: dict):
     k0, cutoff, cumbase, q = t["k0"], t["cutoff"], t["cumbase"], t["q"]
     enc_next = t["enc_next"]
     states = [L] * _NSTATES
-    bits = []          # (value, nbits) in write order
+    # LSB-first bitstream flushed byte-by-byte as it fills (a single
+    # growing bigint accumulator made this fallback O(n^2))
+    out = bytearray()
+    acc = 0
+    fill = 0
     for p in range(len(ids) - 1, -1, -1):
         s = ids[p]
         x = states[p & 3]
         nb = int(k0[s]) - (x < int(cutoff[s]))
-        bits.append((x & ((1 << nb) - 1), nb))
+        acc |= (x & ((1 << nb) - 1)) << fill
+        fill += nb
+        while fill >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            fill -= 8
         states[p & 3] = int(enc_next[int(cumbase[s]) + (x >> nb)
                                      - int(q[s])])
-    acc = 0
-    pos = 0
-    for v, nb in bits:
-        acc |= v << pos
-        pos += nb
-    total_bits = pos
-    payload = acc.to_bytes((total_bits + 7) // 8 or 1, "little")
+    total_bits = 8 * len(out) + fill
+    if fill:
+        out.append(acc & 0xFF)
+    payload = bytes(out) if out else b"\x00"
     return states, total_bits, payload
 
 
@@ -153,13 +156,13 @@ class ByteTans:
             raise ValueError("cannot encode an empty sequence")
         t0 = time.perf_counter_ns()
         from .. import native
+        from ..reference_model.rans_compat import byte_prelude_encode
         freqs = native.byte_histogram(arr)
         lib = _native()
-        nfreqs = byte_adjust_freqs(freqs)
-        increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
-        prelude = interp.encode(increasing, BYTE_MAX_SIGMA,
-                                BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
+        prelude, nfreqs = byte_prelude_encode(freqs)
         t = build_tables(nfreqs)
+        # the wire header stores final states as u16 (x - L)
+        assert t["L"] <= (1 << 16), "byte frame exceeds the u16 header"
         t1 = time.perf_counter_ns()
         if lib is not None:
             states, total_bits, payload = lib.tans_encode(arr, t)
@@ -175,13 +178,9 @@ class ByteTans:
         return prelude + head + payload
 
     def decode(self, buf: bytes, n: int) -> bytes:
-        vals, words = interp.decode(buf, BYTE_MAX_SIGMA,
-                                    BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
-        vals = np.asarray(vals, dtype=np.int64)
-        nfreqs = np.diff(np.concatenate(([-1], vals))) - 1
-        nfreqs[0] = vals[0]
+        from ..reference_model.rans_compat import byte_prelude_decode
+        nfreqs, off = byte_prelude_decode(buf)
         t = build_tables(nfreqs.astype(np.uint32))
-        off = words * 4
         states = [t["L"] + int.from_bytes(buf[off + 2 * i: off + 2 * i
                                               + 2], "little")
                   for i in range(_NSTATES)]

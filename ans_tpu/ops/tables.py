@@ -149,13 +149,24 @@ def build_enc_table(nfreqs: np.ndarray) -> EncTable:
     # 256 * (L/M) * freq; L/M = 2**(A_KM_LOG2 - log2m) is an exact integer
     k256 = np.uint64(1) << np.uint64(A_KM_LOG2 - log2m + 8)
     ub = (k256 * nf).astype(np.uint32)  # <= 2**31 * f / M <= 2**31, fits
+    # Granlund-Montgomery magics, vectorized over the live symbols only
+    # (the old per-symbol Python bigint loop walked the FULL sparse
+    # alphabet — seconds of host stall per block for large-max_sym
+    # AnsInt).  d <= M <= 2^22, so l <= 22 and (1 << (32+l)) fits u64
+    # exactly; float64 floor-div would round, u64 integer div is exact.
     magic = np.zeros(len(nf), dtype=np.uint32)
     mlog2 = np.zeros(len(nf), dtype=np.uint32)
-    for i, d in enumerate(nf.tolist()):
-        if d >= 2:
-            l = int(d - 1).bit_length()
-            mlog2[i] = l
-            magic[i] = ((1 << (32 + l)) // d) + 1 - (1 << 32)
+    live = np.flatnonzero(nf >= 2)
+    if len(live):
+        d = nf[live]
+        l = np.frexp((d - np.uint64(1)).astype(np.float64))[1].astype(
+            np.uint64)                    # bit_length of d-1 (exact:
+        # frexp exponent of x is bit_length for exact-integer floats,
+        # and d-1 < 2^22 is exactly representable
+        mlog2[live] = l.astype(np.uint32)
+        magic[live] = (((np.uint64(1) << (np.uint64(32) + l)) // d)
+                       + np.uint64(1) - (np.uint64(1) << np.uint64(32))
+                       ).astype(np.uint32)
     return EncTable(freq=nf.astype(np.uint32), base=base, ub=ub,
                     magic=magic, mlog2=mlog2, frame_size=M, log2m=log2m)
 

@@ -354,6 +354,34 @@ class AnsReorderFold:
 # byte coder (entropy backend of vbyteANS / streamvbyteANS)
 # --------------------------------------------------------------------------
 
+def byte_prelude_encode(freqs):
+    """Normalize a 256-bin histogram and interp-code the cumulative
+    prelude (layout of ans_byte.hpp: raw interp over universe
+    MAX_FRAME_SIZE + 256).  THE one implementation shared by every
+    byte-entropy stage (compat ansbyte, lane ansbyte, tansbyte) — the
+    prelude bytes are wire format.  Returns (prelude bytes, nfreqs)."""
+    from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
+    from . import interp
+    nfreqs = byte_adjust_freqs(freqs)
+    increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
+    return interp.encode(increasing, BYTE_MAX_SIGMA,
+                         BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA), nfreqs
+
+
+def byte_prelude_decode(buf: bytes):
+    """Inverse of byte_prelude_encode: (nfreqs i64 (256,), byte offset
+    past the prelude)."""
+    from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
+    from . import interp
+    vals, words = interp.decode(buf, BYTE_MAX_SIGMA,
+                                BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
+    vals = np.asarray(vals, dtype=np.int64)
+    # diff over a prepended -1 inverts cumsum(nfreqs + 1) - 1 at every
+    # index, including 0
+    nfreqs = np.diff(np.concatenate(([-1], vals))) - 1
+    return nfreqs, words * 4
+
+
 def byte_adjust_freqs(freqs):
     """256-symbol normalizer (reference: ans_byte.hpp:40-97)."""
     from ..constants import (BYTE_FRAME_FACTOR, BYTE_MAX_FRAME_SIZE,
@@ -413,21 +441,11 @@ class AnsByte:
         from .. import native
         arr = np.frombuffer(data, dtype=np.uint8)
         freqs = native.byte_histogram(arr)
-        nfreqs = byte_adjust_freqs(freqs)
+        prelude, nfreqs = byte_prelude_encode(freqs)
         M = int(nfreqs.sum())
-        increasing = np.cumsum(nfreqs.astype(np.uint64) + 1) - 1
-        prelude = interp.encode(increasing, BYTE_MAX_SIGMA,
-                                BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
         return prelude + interleaved_encode(arr.astype(np.uint32), nfreqs, M)
 
     def decode(self, buf: bytes, n: int) -> bytes:
-        from ..constants import BYTE_MAX_FRAME_SIZE, BYTE_MAX_SIGMA
-        from . import interp
-        vals, _ = interp.decode(buf, BYTE_MAX_SIGMA,
-                                BYTE_MAX_FRAME_SIZE + BYTE_MAX_SIGMA)
-        nfreqs = np.zeros(BYTE_MAX_SIGMA, dtype=np.uint32)
-        nfreqs[0] = vals[0]
-        for s in range(1, BYTE_MAX_SIGMA):
-            nfreqs[s] = vals[s] - vals[s - 1] - 1
-        out = interleaved_decode(buf, n, nfreqs)
+        nfreqs, _ = byte_prelude_decode(buf)
+        out = interleaved_decode(buf, n, nfreqs.astype(np.uint32))
         return out.astype(np.uint8).tobytes()
