@@ -196,3 +196,21 @@ def test_engine_cost_model():
     small = np.full(256, 4, dtype=np.uint64)  # M = 1024, sigma 256
     dts = tables.build_dec_table(small)
     assert engine._search_cost(dts) < engine._search_cost(dt)
+
+
+def test_union_window_path_matches_split(zdata):
+    """split_win=False (single worst-case union window) must stay
+    equivalent to the split default — it remains the documented
+    fallback and the comparison baseline."""
+    codec = AnsFold(2, lanes=256)
+    blob = codec.encode(zdata)
+    nfreqs, plen = load_prelude(blob)
+    st = _search_table(codec, nfreqs)
+    S, states, payload, t_sec, sec_len = framing.parse(blob, plen)
+    n = len(zdata)
+    T = lane_codec.lane_steps(n, S)
+    outs = [np.asarray(pallas_decode.decode_search(
+        payload, states, st, n, S=S, T=T, t_sec=t_sec, sec_len=sec_len,
+        TC=32, split_win=sw, interpret=True)) for sw in (False, True)]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0].reshape(-1)[:n], zdata)
