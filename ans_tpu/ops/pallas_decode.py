@@ -67,12 +67,19 @@ def _lookup(rows, idx, Mr, B):
 def _prefixc(m6, R, C):
     """Batched exclusive prefix sums of C (R,128) masks stacked as
     (C*R, 128), each in lane-major order within its own channel.
-    Returns (exclusive ranks (C*R,128), per-channel totals (C, 128))."""
+    Returns (exclusive ranks (C*R,128), per-channel totals (C, 128)).
+
+    The lane-dim inclusive prefix is ONE upper-triangular f32 matmul on
+    the MXU instead of 7 roll+where rounds on the VPU (+4-5% on the
+    decode headline, more on the placement kernel whose prefix spans
+    G*CH*R rows).  Exact: per-lane values here are byte counts <= 8,
+    so lane sums <= 1024 << 2^24."""
     B = C * R
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-    inc = m6
-    for d in (1, 2, 4, 8, 16, 32, 64):
-        inc = inc + jnp.where(lane >= d, pltpu.roll(inc, d, axis=1), 0)
+    r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (r128 <= c128).astype(jnp.float32)
+    inc = jnp.dot(m6.astype(jnp.float32), tri,
+                  preferred_element_type=jnp.float32).astype(jnp.int32)
     row_tot = jnp.broadcast_to(inc[:, 127:128], (B, 128))
     if R > 1:
         row = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
