@@ -443,7 +443,7 @@ def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
 def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
                  S: int, T: int, t_sec: int, sec_len, TC: int = 128,
                  sw_bytes: int | None = None, split_win: bool = True,
-                 interpret: bool = False):
+                 to_device: bool = True, interpret: bool = False):
     """Stage inputs for the pivot-search kernel.  st: tables.SearchTable.
     Returns (args, kwargs) for _call_search.  sw_bytes overrides the
     section-buffer size (block_runtime passes the mesh-wide max so all
@@ -513,8 +513,9 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
     if w2pack:
         w2 = pack16(w2)
         Sr = max(1, -(-len(w2) // 128))
-    args = (jnp.asarray(stream3d),
-            jnp.asarray(states.view(np.int32).reshape(R, 128)),
+    dev = jnp.asarray if to_device else (lambda x: x)
+    args = (dev(stream3d),
+            dev(states.view(np.int32).reshape(R, 128)),
             n,
             jnp.asarray(_pad_rows(w2.view(np.int32), Sr)),
             jnp.asarray(_pad_rows(w3.view(np.int32),
@@ -540,7 +541,8 @@ def decode_search(payload, states, st, n, *, S, T, t_sec, sec_len,
 def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
           S: int, T: int, has_exc: bool, t_sec: int, sec_len,
           TC: int = 128, sw_bytes: int | None = None,
-          split_win: bool = True, interpret: bool = False):
+          split_win: bool = True, to_device: bool = True,
+          interpret: bool = False):
     """Stage all kernel inputs on device; returns (args, kwargs) for
     _call.  Separated from decode() so callers can amortize the staging
     (PreparedDecoder / production serving).  sw_bytes overrides the
@@ -591,8 +593,9 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
         off += int(sec_len[s])
     stream3d = mat.view("<i4").reshape(nsec, -1, 128)
     R = S // 128
-    args = (jnp.asarray(stream3d),
-            jnp.asarray(states.view(np.int32).reshape(R, 128)),
+    dev = jnp.asarray if to_device else (lambda x: x)
+    args = (dev(stream3d),
+            dev(states.view(np.int32).reshape(R, 128)),
             n,
             jnp.asarray(_pad_rows(w1.view(np.int32), Mr)),
             jnp.asarray(_pad_rows(w2.view(np.int32), Mr)),

@@ -97,7 +97,7 @@ class BlockCodec:
         self.lanes = config.validate_lanes(lanes)
         self.axis = self.mesh.axis_names[0]
         env = os.environ.get("ANS_TPU_BLOCK_ENGINE")
-        if env:
+        if env and engine == "auto":
             engine = env
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() == "tpu"
@@ -122,6 +122,16 @@ class BlockCodec:
         if self.kind in ("fold", "rfold"):
             return fold_max_sigma(self.fidelity)
         return None
+
+    def _padding_symbol(self) -> int:
+        """Mapped id the zero padding contributes to the histogram
+        (vals are padded to D*B with zeros before the device pass)."""
+        if self.kind == "msb":
+            return int(map_np.msb_map(np.zeros(1, np.uint32))[0])
+        if self.kind in ("fold", "rfold"):
+            return int(map_np.fold_map(np.zeros(1, np.uint32),
+                                       self.fidelity)[0])
+        return 0
 
     def _map_hist_program(self, sigma_cap: int):
         """(D, B) u32 -> mapped/k/b sharded + replicated global histogram."""
@@ -298,6 +308,12 @@ class BlockCodec:
             mapped, k, b, hist = self._map_hist_program(sigma_cap)(vals)
         freqs = (np.asarray(hist) if hist_override is None
                  else np.asarray(hist_override)).astype(np.uint64)
+        if hist_override is None and D * B > n:
+            # the device pass histograms the zero padding too; remove
+            # it so the model reflects the data (multihost subtracts
+            # its own shard padding before the allreduce)
+            freqs = freqs.copy()
+            freqs[self._padding_symbol()] -= D * B - n
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, self.kind != "int",
                               self.h_approx)
@@ -415,9 +431,18 @@ class BlockCodec:
         if magic != MAGIC:
             raise ValueError("not an ATFB container")
         kind = _KIND_NAMES[kind_id]
-        assert kind == self.kind and fid == self.fidelity, \
-            "container method does not match codec"
-        n = n_stored if n is None else n
+        if kind != self.kind or fid != self.fidelity:
+            raise ValueError(
+                f"container method {kind}/{fid} does not match codec "
+                f"{self.kind}/{self.fidelity}")
+        if n is not None and n != n_stored:
+            # the stream is cut into D per-device sections of
+            # ceil(n_stored/D); a different n re-derives a different
+            # split and silently interleaves wrong ranges
+            raise ValueError(
+                f"ATFB containers are not prefix-decodable: n={n} != "
+                f"stored n={n_stored}")
+        n = n_stored
         pos = 16
         mf = None
         if kind == "rfold":
@@ -526,18 +551,23 @@ class BlockCodec:
             st_tab = tables.build_search_table(dt.nfreqs, dt.sym_high,
                                                dt.sym_nb)
         for d, (_, st, pay, t_sec, sec_len) in enumerate(secs):
+            # to_device=False: the per-device buffers stay numpy and
+            # upload ONCE as the stacked (D, ...) arrays below (staging
+            # device-side would round-trip every stream through the
+            # slow relay: H2D here, D2H at np.stack, H2D again)
             if which == "search":
                 args, kw_d = pallas_decode.stage_search(
                     np.asarray(pay), st, st_tab, int(n_sec[d]), S=S, T=T,
                     t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
-                    interpret=self.interpret)
+                    to_device=False, interpret=self.interpret)
             else:
                 args, kw_d = pallas_decode.stage(
                     np.asarray(pay), st, dt, int(n_sec[d]), S=S, T=T,
                     has_exc=has_exc, t_sec=t_sec, sec_len=sec_len,
-                    sw_bytes=sw, interpret=self.interpret)
-            streams.append(np.asarray(args[0]))
-            states.append(np.asarray(args[1]))
+                    sw_bytes=sw, to_device=False,
+                    interpret=self.interpret)
+            streams.append(args[0])
+            states.append(args[1])
             if kw is None:
                 kw, tabs = kw_d, args[3:]
         fn = (pallas_decode._call_search if which == "search"

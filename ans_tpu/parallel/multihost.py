@@ -126,7 +126,12 @@ class MultiHostBlockCodec:
         vals[: len(values_local)] = values_local
         mapped, k, b, hist = self.codec._map_hist_program(cap)(
             vals.reshape(D, B))
-        hist = self._global_hist(np.asarray(hist))
+        hist = np.asarray(hist).astype(np.int64).copy()
+        if D * B > len(values_local):
+            # remove this shard's zero-padding counts before the
+            # cross-process reduction
+            hist[self.codec._padding_symbol()] -= D * B - len(values_local)
+        hist = self._global_hist(hist)
         # pad the global hist to the cap so encode()'s sigma_cap (=
         # len(hist_override)) matches the cap the map pass used
         if len(hist) < cap:

@@ -6,23 +6,24 @@ import os
 
 import jax
 
-_CACHE_ENABLED = False
+_CACHE_PATH = None
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (TPU compiles via the remote
-    compile service take minutes; the cache makes repeat runs instant)."""
-    global _CACHE_ENABLED
-    if _CACHE_ENABLED:
-        return
+    compile service take minutes; the cache makes repeat runs instant).
+    Re-applies the config if called again with a different path."""
+    global _CACHE_PATH
     path = path or os.environ.get(
         "ANS_TPU_CACHE", os.path.join(os.path.dirname(__file__), os.pardir,
                                       ".jax_cache"))
     path = os.path.abspath(path)
+    if _CACHE_PATH == path:
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    _CACHE_ENABLED = True
+    _CACHE_PATH = path
 
 
 def force_cpu(n_virtual_devices: int | None = None) -> None:

@@ -99,3 +99,36 @@ def test_blocked_pallas_ragged(data):
     codec = BlockCodec("ANSmsb", make_mesh(8), lanes=128, engine="pallas",
                        interpret=True)
     np.testing.assert_array_equal(codec.decode(codec.encode(src)), src)
+
+
+def test_blocked_model_independent_of_padding_and_mesh():
+    """The shared model must reflect the DATA histogram: the device
+    pass histograms zero-padded shards, and the padding counts are
+    subtracted (regression: up to D-1 phantom symbol-0 counts made the
+    wire bytes depend on the mesh size)."""
+    import struct
+    from ans_tpu.parallel import BlockCodec, make_mesh
+    rng = np.random.default_rng(11)
+    v = (rng.zipf(1.5, 4001) - 1).clip(0, 1 << 16).astype(np.uint32) + 1
+    def prelude_of(blob):
+        (plen,) = struct.unpack_from("<I", blob, 16)
+        return blob[20:20 + plen]
+    blobs = {}
+    for D in (1, 4):
+        codec = BlockCodec("ANSmsb", make_mesh(D), lanes=32)
+        blob = codec.encode(v)
+        np.testing.assert_array_equal(codec.decode(blob), v)
+        blobs[D] = prelude_of(blob)
+    assert blobs[1] == blobs[4]
+
+
+def test_blocked_decode_rejects_wrong_n():
+    from ans_tpu.parallel import BlockCodec, make_mesh
+    import pytest
+    rng = np.random.default_rng(12)
+    v = (rng.zipf(1.5, 2000) - 1).clip(0, 1 << 16).astype(np.uint32)
+    codec = BlockCodec("ANSfold-2", make_mesh(4), lanes=32)
+    blob = codec.encode(v)
+    with pytest.raises(ValueError, match="prefix"):
+        codec.decode(blob, len(v) - 100)
+    np.testing.assert_array_equal(codec.decode(blob, len(v)), v)
