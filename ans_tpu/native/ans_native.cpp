@@ -123,6 +123,9 @@ int64_t ans_compat_decode(const uint8_t* buf, int64_t len, int64_t n,
                           const uint32_t* sym_slot, int64_t M,
                           const uint32_t* high, const uint8_t* nb,
                           uint32_t* out) {
+    // corrupt wire data must fail, not index a 2^64-1 mask into the
+    // slot tables: M comes from a decoded prelude
+    if (M <= 0 || (M & (M - 1)) != 0) return -1;
     uint64_t L = 16ull * (uint64_t)M;
     uint64_t mask = (uint64_t)M - 1;
     int log2m = 0;
@@ -253,6 +256,9 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
             }
             if (l > (int)max_len) return -1;
         }
+        // truncated payload: the zero-refilled accumulator would keep
+        // "matching" the shortest codeword forever — fail instead
+        if (nbits < l) return -1;
         int64_t pfx = (int64_t)(acc >> (64 - l));
         int64_t k = first_idx[l] + (pfx - first_code[l]);
         out[i] = syms[k];
@@ -483,7 +489,9 @@ extern "C" {
 int64_t ans_interp_encode(const uint64_t* seq, int64_t n, uint64_t u,
                           uint8_t* out, int64_t cap) {
     BitWriterN w{out, cap};
-    Frame* stack = new Frame[2 * (n + 2) + 64];
+    // DFS: each pop pushes both halves and the left is consumed next,
+    // so at most one pending sibling per level — depth <= 64 + margin
+    Frame stack[160];
     int64_t sp = 0;
     stack[sp++] = {0, n, 1, u + 1};
     while (sp) {
@@ -497,11 +505,9 @@ int64_t ans_interp_encode(const uint64_t* seq, int64_t n, uint64_t u,
                          f.high - n2 - f.low - n1 + 1);
         stack[sp++] = {f.start + h, n2, v + 1, f.high};
         stack[sp++] = {f.start, n1, f.low, v - 1};
-        if (w.overflow) { delete[] stack; return -1; }
+        if (w.overflow) return -1;
     }
-    int64_t r = w.flush();
-    delete[] stack;
-    return r;
+    return w.flush();
 }
 
 // Decode n values over universe u starting at bit_offset; returns words
@@ -509,7 +515,7 @@ int64_t ans_interp_encode(const uint64_t* seq, int64_t n, uint64_t u,
 int64_t ans_interp_decode(const uint8_t* buf, int64_t nbytes, int64_t n,
                           uint64_t u, int64_t bit_offset, uint64_t* out) {
     BitReaderN r{buf, nbytes, bit_offset};
-    Frame* stack = new Frame[2 * (n + 2) + 64];
+    Frame stack[160];             // DFS depth <= 64 + margin (see encode)
     int64_t sp = 0;
     stack[sp++] = {0, n, 1, u + 1};
     while (sp) {
@@ -524,9 +530,7 @@ int64_t ans_interp_decode(const uint8_t* buf, int64_t nbytes, int64_t n,
         stack[sp++] = {f.start + h, n2, v + 1, f.high};
         stack[sp++] = {f.start, n1, f.low, v - 1};
     }
-    int64_t words = (r.pos - bit_offset + 31) / 32;
-    delete[] stack;
-    return words;
+    return (r.pos - bit_offset + 31) / 32;
 }
 
 }  // extern "C"

@@ -77,9 +77,11 @@ class NativeLib:
         return self._c.ans_cross_entropy_ordered(P, len(P), Q, len(Q))
 
     def scale_freqs(self, S, F, mapping, M, sigma, freq_sum) -> bool:
-        return bool(self._c.ans_scale_freqs(
-            np.ascontiguousarray(S, np.uint32), F, mapping, M, sigma,
-            freq_sum))
+        # S is mutated IN PLACE: pass it through unconverted so a
+        # wrong-dtype/non-contiguous array raises (a silent
+        # ascontiguousarray copy would leave the caller's S untouched)
+        return bool(self._c.ans_scale_freqs(S, F, mapping, M, sigma,
+                                            freq_sum))
 
     # ---- compat streams --------------------------------------------------
 

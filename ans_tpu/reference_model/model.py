@@ -118,6 +118,10 @@ def adjust_freqs(freqs, largest_sym: int, require_u16: bool,
     nz = np.flatnonzero(freqs)
     sigma = int(nz.size)
     freq_sum = int(freqs.sum())
+    if sigma == 0:
+        # the doubling search never terminates on an all-zero histogram
+        raise ValueError("cannot build a model from an all-zero "
+                         "histogram (empty input?)")
     target = sigma
     if not is_power_of_two(target):
         target = next_power_of_two(target)

@@ -139,3 +139,42 @@ def test_arith_scale_counts_heavy_hitter_fast():
     s = _scale_counts(counts, 17)
     assert time.perf_counter() - t0 < 2.0
     assert int(s.sum()) == 1 << 17 and int(s.min()) >= 1
+
+
+def test_adjust_freqs_rejects_all_zero_histogram():
+    """The frame-doubling search never terminates on a zero histogram
+    (regression: pure-python hung, native wrapped through c_int64)."""
+    import pytest
+    from ans_tpu.reference_model import model
+    with pytest.raises(ValueError, match="all-zero"):
+        model.adjust_freqs(np.zeros(4, np.uint64), 3, False)
+
+
+def test_native_compat_decode_rejects_zero_frame_prelude():
+    """A well-formed prelude that decodes to all-zero freqs (M=0) must
+    raise, not index mask=2^64-1 into the slot tables (regression:
+    native SIGSEGV)."""
+    import pytest
+    from ans_tpu.reference_model import interp as ip, vbyte, model
+    from ans_tpu.reference_model import rans_compat
+    max_sym, frame_log = 3, 4
+    n = max_sym + 1
+    u = (1 << frame_log) + n + 1
+    vals = np.arange(n, dtype=np.uint64)   # diffs of 1 -> nfreqs all 0
+    buf = (vbyte.encode_u32(max_sym) + bytes([frame_log])
+           + ip.encode(vals, n, u) + b"\x01" * 64)
+    nf, _ = model.load_prelude(buf)
+    assert int(np.asarray(nf).sum()) == 0
+    with pytest.raises(ValueError):
+        rans_compat.interleaved_decode(buf, 4, nf)
+
+
+def test_shuff_truncated_stream_raises():
+    """Truncated shuff payloads must fail, not silently emit the
+    shortest codeword from the zero-refilled accumulator."""
+    import pytest
+    from ans_tpu.models.shuff import Shuff
+    v = (np.random.default_rng(3).zipf(1.3, 30000) - 1).astype(np.uint32)
+    blob = Shuff().encode(v)
+    with pytest.raises(ValueError):
+        Shuff().decode(blob[: len(blob) // 2], len(v))
