@@ -88,10 +88,23 @@ def _search_cost(dt: tables.DecTable):
 
 
 def choose_decode_engine(dt: tables.DecTable, S: int) -> str:
-    """'search' | 'direct' | 'xla' (env ANS_TPU_DECODE_ENGINE forces)."""
+    """'search' | 'direct' | 'xla' (env ANS_TPU_DECODE_ENGINE forces,
+    but only within eligibility — a forced Pallas engine on a table it
+    cannot represent would stage garbage, so ineligible forces fall
+    back with a warning)."""
     env = os.environ.get("ANS_TPU_DECODE_ENGINE")
     if env:
-        return env
+        eligible = (env == "xla"
+                    or (env == "direct" and _pallas_ok(dt, S))
+                    or (env == "search" and _pallas_env_ok(S)
+                        and _search_cost(dt) is not None))
+        if eligible:
+            return env
+        import warnings
+        warnings.warn(
+            f"ANS_TPU_DECODE_ENGINE={env!r} is not eligible for this "
+            f"table (sigma/frame/backend out of range); falling back to "
+            f"automatic engine choice", stacklevel=2)
     if not _pallas_env_ok(S):
         return "xla"
     direct = (6 * -(-dt.frame_size // 128) if _pallas_ok(dt, S)

@@ -160,6 +160,11 @@ def _unpack_payload_numpy(payload, n, first_code, first_idx, max_len,
             pfx = acc >> (64 - l)
             j = pfx - int(first_code[l])
             if 0 <= j < int(first_idx[l + 1] - first_idx[l]):
+                if nbits < l:
+                    # the zero-refilled accumulator can keep matching
+                    # codewords past end-of-buffer; mirror the native
+                    # truncation check instead of returning garbage
+                    raise ValueError("corrupt shuff stream (truncated)")
                 out[i] = ssyms[int(first_idx[l]) + j]
                 acc = (acc << l) & ((1 << 64) - 1)
                 nbits -= l
@@ -219,6 +224,16 @@ class Shuff:
         pos += words * 4
         lens = _unpack_msb_fixed(buf[pos:], sigma, 6)
         pos += (sigma * 6 + 7) // 8
+        # the canonical tables are sized from the actual lens; a forged
+        # header max_len larger than lens.max() would make the >16-bit
+        # scan read first_code[] out of bounds in the native decoder
+        if len(lens) == 0 or lens.min() < 1 or lens.max() > 32:
+            raise ValueError("corrupt shuff prelude: code length out of "
+                             "[1, 32]")
+        if max_len != int(lens.max()):
+            raise ValueError(
+                f"corrupt shuff prelude: header max_len {max_len} != "
+                f"actual {int(lens.max())}")
         _, order, first_code, first_idx = canonical_tables(lens)
         ssyms = np.asarray(syms, dtype=np.uint32)[order]
         payload = buf[pos:]

@@ -185,7 +185,15 @@ class ByteTans:
                                               + 2], "little")
                   for i in range(_NSTATES)]
         total_bits = int.from_bytes(buf[off + 8: off + 16], "little")
-        payload = buf[off + 16: off + 16 + ((total_bits + 7) // 8 or 1)]
+        # a forged/truncated wire u64 must fail here, not in the native
+        # decoder (which trusts that the payload really holds total_bits
+        # bits and reads at payload + (cur >> 3))
+        need = (total_bits + 7) // 8 or 1
+        if len(buf) < off + 16 + need:
+            raise ValueError(
+                f"corrupt tans stream: header claims {total_bits} payload"
+                f" bits but only {len(buf) - off - 16} bytes follow")
+        payload = buf[off + 16: off + 16 + need]
         lib = _native()
         if lib is not None:
             return lib.tans_decode(payload, total_bits, states, n,

@@ -242,6 +242,7 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
     int nbits = 0;
     int64_t pos = 0;
     int64_t used = 0;
+    if (max_len < 1 || max_len > 64) return -1;  // shift below needs l<=64
     for (int64_t i = 0; i < n; i++) {
         while (nbits <= 56 && pos < nbytes) {
             acc |= (uint64_t)in[pos++] << (56 - nbits);

@@ -277,20 +277,29 @@ class BlockCodec:
         from ..reference_model.mappings import craft_reorder
         return craft_reorder(values, self.fidelity)
 
-    def encode(self, values, hist_override=None, premapped=None) -> bytes:
+    def encode(self, values, hist_override=None, premapped=None,
+               reorder_header=None) -> bytes:
         """hist_override: a precomputed GLOBAL symbol histogram (the
         multi-host runtime passes the cross-process allreduce so every
         shard derives the same model; parallel/multihost.py).
         premapped: the (mapped, k, b) device arrays from a prior
         _map_hist_program run over the same values at the same
-        sigma_cap, so multi-host encode doesn't pay the map pass twice."""
+        sigma_cap, so multi-host encode doesn't pay the map pass twice.
+        reorder_header: for rfold, the wire header bytes of an ALREADY
+        APPLIED global reorder (multi-host derives the permutation from
+        the allreduced raw histogram and remaps each shard before
+        calling encode; the local remap here would disagree between
+        shards)."""
         values = np.ascontiguousarray(values, dtype=np.uint32)
         n = len(values)
         if n == 0:
             raise ValueError("cannot encode an empty sequence")
         header_extra = b""
         if self.kind == "rfold":
-            values, header_extra = self._reorder_remap(values)
+            if reorder_header is not None:
+                header_extra = reorder_header
+            else:
+                values, header_extra = self._reorder_remap(values)
         D = self.mesh.devices.size
         B = -(-n // D)
         vals = np.zeros(D * B, dtype=np.uint32)

@@ -109,15 +109,39 @@ class MultiHostBlockCodec:
 
     def encode_local(self, values_local) -> bytes:
         """Encode this process's slice into its container shard.  The
-        shared model comes from the GLOBAL histogram so shards agree."""
+        shared model comes from the GLOBAL histogram so shards agree.
+
+        Every process must pass a NON-EMPTY shard: all processes enter
+        the same collectives, and an empty shard has no defined local
+        maximum (split the stream with local_block_slice, which never
+        produces empty shards for n_global >= process_count)."""
         values_local = np.ascontiguousarray(values_local, dtype=np.uint32)
+        if len(values_local) == 0:
+            # fail clearly BEFORE the collectives (a zero-size .max()
+            # ValueError here would leave peer processes blocked in the
+            # allgather with no indication why)
+            raise ValueError(
+                "encode_local requires a non-empty local shard on every "
+                "process (this one got 0 values)")
         kind = self.codec.kind
         cap = self.codec._sigma_cap or self._global_cap(
             int(values_local.max()))
+        reorder_header = None
         if kind == "rfold":
-            raise NotImplementedError(
-                "rfold's global reorder needs the full value histogram; "
-                "use ANSfold-f in the multi-host runtime")
+            # the top-2^(f+7) reorder permutation must be GLOBAL: derive
+            # it on every process from the allreduced raw-value
+            # histogram (deterministic given counts — same (-count, sym)
+            # order as the reference's craft_reorder), then remap the
+            # local shard before the fold map/hist pass below
+            from ..reference_model.mappings import craft_reorder_from_counts
+            raw_cap = self._global_cap(int(values_local.max()))
+            raw_hist = self._global_hist(
+                np.bincount(values_local, minlength=raw_cap)
+                .astype(np.int64))
+            mapping, reorder_header = craft_reorder_from_counts(
+                raw_hist, self.codec.fidelity)
+            if mapping is not None:
+                values_local = mapping[values_local]
         # ONE local map+hist pass through the per-process mesh program;
         # the map outputs are handed to encode() so it is not re-run
         D = self.codec.mesh.devices.size
@@ -137,7 +161,8 @@ class MultiHostBlockCodec:
         if len(hist) < cap:
             hist = np.pad(hist, (0, cap - len(hist)))
         return self.codec.encode(values_local, hist_override=hist,
-                                 premapped=(mapped, k, b))
+                                 premapped=(mapped, k, b),
+                                 reorder_header=reorder_header)
 
     def decode_local(self, shard: bytes, n_local: int) -> np.ndarray:
         return self.codec.decode(shard, n_local)

@@ -110,15 +110,29 @@ def craft_reorder(values: np.ndarray, fidelity: int):
     [+ thres u32 top symbols]).  Shared by the compat and lane engines,
     the block runtime, and the benchmark harness — the header bytes are
     format, so there is exactly one implementation."""
-    thres = fold_threshold(fidelity)
     max_raw = int(values.max()) if len(values) else 0
     counts = np.bincount(values, minlength=max_raw + 1)
+    mapping, header = craft_reorder_from_counts(counts, fidelity)
+    if mapping is None:
+        return values, header
+    return mapping[values], header
+
+
+def craft_reorder_from_counts(counts: np.ndarray, fidelity: int):
+    """Derive the rfold permutation from a raw-value histogram alone.
+    Deterministic in `counts`, so multi-host processes that allreduce
+    their local histograms all compute the identical `top` list (the
+    reference builds the permutation from global counts the same way,
+    ans_reorder_fold.hpp:74-106; order = (-count, sym)).  Returns
+    (mapping u32 array or None when fewer than `thres` symbols are
+    present, wire header bytes)."""
+    thres = fold_threshold(fidelity)
     present = np.flatnonzero(counts)
     if len(present) < thres:
-        return values, (0).to_bytes(4, "little")
-    order = np.lexsort((present, -counts[present]))
+        return None, (0).to_bytes(4, "little")
+    order = np.lexsort((present, -np.asarray(counts)[present]))
     top = present[order[:thres]].astype(np.uint32)
-    mapping = np.arange(max_raw + 1, dtype=np.uint32) + np.uint32(thres)
+    mapping = np.arange(len(counts), dtype=np.uint32) + np.uint32(thres)
     mapping[top] = np.arange(thres, dtype=np.uint32)
-    return mapping[values], ((1).to_bytes(4, "little")
-                             + top.astype("<u4").tobytes())
+    return mapping, ((1).to_bytes(4, "little")
+                     + top.astype("<u4").tobytes())

@@ -88,6 +88,36 @@ def test_shuff_single_and_skewed():
     _roundtrip("arith", skew)
 
 
+def test_shuff_rejects_corrupt_wire():
+    """Forged header max_len must not drive the >16-bit scan past the
+    canonical tables, and truncated payloads must raise on BOTH
+    backends (the zero-refilled accumulator can keep 'matching')."""
+    import ans_tpu.models.shuff as sh
+    from ans_tpu.reference_model import vbyte
+    vals = (np.random.default_rng(3).zipf(1.3, 5000) - 1).astype(
+        np.uint32)
+    c = sh.Shuff()
+    blob = c.encode(vals)
+    _, p1 = vbyte.decode_u32(blob, 0)
+    _, p2 = vbyte.decode_u32(blob, p1)
+    _, p3 = vbyte.decode_u32(blob, p2)
+    forged = blob[:p2] + bytes(vbyte.encode_u32(60)) + blob[p3:]
+    trunc = blob[:-10]
+    with pytest.raises(ValueError, match="corrupt shuff"):
+        c.decode(forged, len(vals))
+    with pytest.raises(ValueError):
+        c.decode(trunc, len(vals))
+    orig = sh._native
+    sh._native = lambda: None
+    try:
+        with pytest.raises(ValueError, match="corrupt shuff"):
+            c.decode(forged, len(vals))
+        with pytest.raises(ValueError):
+            c.decode(trunc, len(vals))
+    finally:
+        sh._native = orig
+
+
 def test_shuff_pure_python_fallback_matches_native():
     """The numpy packer/decoder must work (and emit identical bytes)
     when libansnative.so is absent — regression for a uint64/int64

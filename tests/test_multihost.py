@@ -58,6 +58,19 @@ for i, s in enumerate(mh.gather_container(shard2)):
     l2, h2 = i * per, min((i + 1) * per, len(v2))
     np.testing.assert_array_equal(codec2.decode_local(s, h2 - l2),
                                   v2[l2:h2])
+# rfold: the reorder permutation must be GLOBAL — skew the two shards
+# so their local top-512 sets differ (a process-local craft_reorder
+# would emit disagreeing headers and cross-shard decode would corrupt)
+v3 = np.where(np.arange(len(values)) < 8000, values % 512,
+              (values % 512) + 300).astype(np.uint32)
+codec3 = mh.MultiHostBlockCodec("ANSrfold-2", lanes=32)
+shard3 = codec3.encode_local(v3[lo:hi])
+np.testing.assert_array_equal(codec3.decode_local(shard3, hi - lo),
+                              v3[lo:hi])
+for i, s in enumerate(mh.gather_container(shard3)):
+    l2, h2 = i * per, min((i + 1) * per, len(v3))
+    np.testing.assert_array_equal(codec3.decode_local(s, h2 - l2),
+                                  v3[l2:h2])
 print("MULTIHOST_OK", pid, flush=True)
 """
 
@@ -106,3 +119,10 @@ def test_single_process_fallbacks():
     np.testing.assert_array_equal(codec.decode_local(shard, len(values)),
                                   values)
     assert mh.gather_container(shard) == [shard]
+    # rfold single-process: global hist == local hist
+    codec_r = mh.MultiHostBlockCodec("ANSrfold-2", lanes=32)
+    shard_r = codec_r.encode_local(values)
+    np.testing.assert_array_equal(
+        codec_r.decode_local(shard_r, len(values)), values)
+    with pytest.raises(ValueError, match="non-empty"):
+        codec.encode_local(np.empty(0, np.uint32))

@@ -198,6 +198,30 @@ def test_engine_cost_model():
     assert engine._search_cost(dts) < engine._search_cost(dt)
 
 
+def test_engine_env_force_ineligible_falls_back(zdata, monkeypatch):
+    """A forced ANS_TPU_DECODE_ENGINE outside its eligibility envelope
+    must fall back (with a warning) instead of staging garbage."""
+    from ans_tpu.models import engine
+    # sigma above the pivot-search cap: 'search' is ineligible
+    nfreqs = np.full(engine.SEARCH_MAX_SIGMA * 2, 2, dtype=np.uint64)
+    dt = tables.build_dec_table(nfreqs)
+    monkeypatch.setenv("ANS_TPU_DECODE_ENGINE", "search")
+    with pytest.warns(UserWarning, match="not eligible"):
+        assert engine.choose_decode_engine(dt, 256) == "xla"
+    # an unknown engine name falls back too
+    monkeypatch.setenv("ANS_TPU_DECODE_ENGINE", "warpspeed")
+    with pytest.warns(UserWarning, match="not eligible"):
+        assert engine.choose_decode_engine(dt, 256) == "xla"
+    # end-to-end decode under the forced env still round-trips
+    monkeypatch.setenv("ANS_TPU_DECODE_ENGINE", "search")
+    values = zdata[:20000]
+    codec = AnsInt(lanes=128)
+    blob = codec.encode(values)
+    with pytest.warns(UserWarning, match="not eligible"):
+        out = codec.decode(blob, len(values))
+    np.testing.assert_array_equal(out, values)
+
+
 def test_union_window_path_matches_split(zdata):
     """split_win=False (single worst-case union window) must stay
     equivalent to the split default — it remains the documented

@@ -128,3 +128,12 @@ def test_native_decode_rejects_corrupt_streams():
     bad_bits[off + 8:off + 16] = (5).to_bytes(8, "little")
     with pytest.raises(ValueError):
         bt.decode(bytes(bad_bits), len(data))
+    # forged/inflated total_bits: the payload slice would silently
+    # truncate to the container, then the native decoder would read at
+    # payload + (total_bits >> 3), far out of bounds
+    forged = bytearray(blob)
+    forged[off + 8:off + 16] = (1 << 40).to_bytes(8, "little")
+    with pytest.raises(ValueError, match="corrupt tans"):
+        bt.decode(bytes(forged), len(data))
+    with pytest.raises(ValueError, match="corrupt tans"):
+        bt.decode(blob[:off + 20], len(data))  # truncated container
