@@ -42,13 +42,39 @@ DEFAULT_MAX_FRAME = None
 # shared stream helpers
 # --------------------------------------------------------------------------
 
+def _finish_pallas_encode(packed, states, nb_ts, excb_ts, n, et, *,
+                          S, T, has_exc) -> bytes:
+    from ..ops import pallas_place
+    packed = packed[:T]
+    round_base, total = lane_codec.encode_totals(
+        packed, nb_ts, jnp.int32(n), S=S, T=T)
+    total = int(total)
+    t_sec, sec_len = framing.choose_sections(
+        np.asarray(round_base)[::6], total, T)
+    NR = tables.max_renorm_rounds(et.log2m)
+    NE = int(jnp.max(nb_ts)) if has_exc else 0
+    tc_max = 128 if S <= 2048 else (64 if S <= 4096 else 32)
+    secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
+                              S=S, T=T, t_sec=t_sec, sec_len=sec_len,
+                              NR=NR, NE=NE, tc_max=tc_max)
+    stream = pallas_place.sections_to_stream(np.asarray(secs), sec_len)
+    return framing.pack(np.asarray(states).view(np.uint32), stream,
+                        t_sec, sec_len)
+
+
 def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
-                   lanes: int | None) -> bytes:
+                   lanes: int | None, layout=None,
+                   ranks_host=None) -> bytes:
+    """layout: grouped.GroupLayout when the prelude freqs select the
+    frequency-grouped slot order (ops/grouped.use_grouped_layout —
+    decoders re-derive it, so it is format, not a knob).  ranks_host:
+    the values already remapped to ranks on the host (AnsInt-style raw
+    alphabets); device-mapped coders pass layout only and the scan
+    kernel applies packed value->rank planes itself."""
     S = lanes or config.default_lane_count(n)
     T = lane_codec.lane_steps(n, S)
-    et = tables.build_enc_table(nfreqs)
+    et = tables.build_enc_table(nfreqs, layout)
     pad = T * S - n
-    mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
     if nb_dev is None:
         nb_ts = jnp.zeros((T, S), U32)
         excb_ts = jnp.zeros((T, S, 3), jnp.uint8)
@@ -56,31 +82,32 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
         nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
         excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
     from . import engine as _engine
-    if _engine.encode_pallas_ok(et, S):
-        from ..ops import pallas_encode, pallas_place
+    if layout is not None and _engine.encode_grouped_ok(et, S, layout):
+        from ..ops import grouped, pallas_encode
+        if ranks_host is not None:
+            syms_ts = jnp.pad(jnp.asarray(ranks_host),
+                              (0, pad)).reshape(T, S)
+            vr = None
+        else:
+            syms_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
+            vr = grouped.pack_planes(layout.rank_of)
+        packed, states, _ = pallas_encode.encode_scan_grouped(
+            syms_ts, jnp.int32(n), layout, S=S, T=T, vr_planes=vr)
+        return _finish_pallas_encode(packed, states, nb_ts, excb_ts, n,
+                                     et, S=S, T=T,
+                                     has_exc=nb_dev is not None)
+    mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
+    if layout is None and _engine.encode_pallas_ok(et, S):
+        from ..ops import pallas_encode
         packed, states, _ = pallas_encode.encode_scan(
             mapped_ts, nb_ts, jnp.int32(n), et, S=S, T=T)
-        packed = packed[:T]
-        round_base, total = lane_codec.encode_totals(
-            packed, nb_ts, jnp.int32(n), S=S, T=T)
-        total = int(total)
-        t_sec, sec_len = framing.choose_sections(
-            np.asarray(round_base)[::6], total, T)
-        NR = tables.max_renorm_rounds(et.log2m)
-        NE = int(jnp.max(nb_ts)) if nb_dev is not None else 0
-        tc_max = 128 if S <= 2048 else (64 if S <= 4096 else 32)
-        secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
-                                  S=S, T=T, t_sec=t_sec, sec_len=sec_len,
-                                  NR=NR, NE=NE, tc_max=tc_max)
-        stream = pallas_place.sections_to_stream(np.asarray(secs),
-                                                 sec_len)
-        return framing.pack(np.asarray(states).view(np.uint32), stream,
-                            t_sec, sec_len)
-    else:
-        stream, total, states, step_base = lane_codec.encode_lanes(
-            mapped_ts, nb_ts, excb_ts, jnp.int32(n),
-            jnp.asarray(et.freq), jnp.asarray(et.base),
-            jnp.asarray(et.ub), S=S, T=T, log2m=et.log2m)
+        return _finish_pallas_encode(packed, states, nb_ts, excb_ts, n,
+                                     et, S=S, T=T,
+                                     has_exc=nb_dev is not None)
+    stream, total, states, step_base = lane_codec.encode_lanes(
+        mapped_ts, nb_ts, excb_ts, jnp.int32(n),
+        jnp.asarray(et.freq), jnp.asarray(et.base),
+        jnp.asarray(et.ub), S=S, T=T, log2m=et.log2m)
     total = int(total)
     t_sec, sec_len = framing.choose_sections(np.asarray(step_base),
                                              total, T)
@@ -92,10 +119,19 @@ def _decode_stream(buf: bytes, off: int, n: int,
                    dt: tables.DecTable) -> np.ndarray:
     S, states, payload, t_sec, sec_len = framing.parse(buf, off)
     T = lane_codec.lane_steps(n, S)
-    has_exc = dt.high is not None
     from . import engine as _engine
     return _engine.decode(payload, states, dt, n, S=S, T=T,
-                          has_exc=has_exc, t_sec=t_sec, sec_len=sec_len)
+                          has_exc=dt.has_exc, t_sec=t_sec,
+                          sec_len=sec_len)
+
+
+def _maybe_layout(nfreqs):
+    """The frequency-grouped slot layout when the prelude freqs select
+    it (a format decision both coder sides derive identically)."""
+    from ..ops import grouped
+    if grouped.use_grouped_layout(nfreqs):
+        return grouped.build_group_layout(nfreqs)
+    return None
 
 
 def _require_nonempty(values):
@@ -128,8 +164,11 @@ class AnsInt:
                               self.max_frame)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
+        layout = _maybe_layout(nfreqs)
+        ranks = layout.rank_of[values] if layout is not None else None
         stream = _encode_stream(jnp.asarray(values), None, None,
-                                len(values), nfreqs, self.lanes)
+                                len(values), nfreqs, self.lanes,
+                                layout=layout, ranks_host=ranks)
         record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)
@@ -137,7 +176,9 @@ class AnsInt:
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         nfreqs, plen = load_prelude(buf)
-        dt = tables.build_dec_table(nfreqs)
+        layout = _maybe_layout(nfreqs)
+        dt = tables.build_dec_table(nfreqs, layout=layout,
+                                    slots=layout is None)
         return _decode_stream(buf, plen, n, dt)
 
 
@@ -172,7 +213,7 @@ class AnsMsb:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes)
+                                self.lanes, layout=_maybe_layout(nfreqs))
         record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)
@@ -181,9 +222,11 @@ class AnsMsb:
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         nfreqs, plen = load_prelude(buf)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
+        layout = _maybe_layout(nfreqs)
         dt = tables.build_dec_table(nfreqs,
                                     map_np.msb_unmap_high(syms),
-                                    map_np.msb_exception_bytes(syms))
+                                    map_np.msb_exception_bytes(syms),
+                                    layout=layout, slots=layout is None)
         return _decode_stream(buf, plen, n, dt)
 
 
@@ -222,7 +265,7 @@ class AnsFold:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes)
+                                self.lanes, layout=_maybe_layout(nfreqs))
         record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)
@@ -232,7 +275,9 @@ class AnsFold:
         nfreqs, plen = load_prelude(buf)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         high, nb = map_np.fold_unmap_high(syms, self.fidelity)
-        dt = tables.build_dec_table(nfreqs, high, nb)
+        layout = _maybe_layout(nfreqs)
+        dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
+                                    slots=layout is None)
         return _decode_stream(buf, plen, n, dt)
 
 
@@ -267,7 +312,7 @@ class AnsReorderFold:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes)
+                                self.lanes, layout=_maybe_layout(nfreqs))
         record_stats(prelude_bytes=len(header) + len(prelude),
                      encode_bytes=len(stream),
                      prelude_time_ns=t1 - t0,
@@ -292,5 +337,7 @@ class AnsReorderFold:
                             high - np.uint32(thres)).astype(np.uint32)
         else:
             high = np.where(syms < thres, syms, high).astype(np.uint32)
-        dt = tables.build_dec_table(nfreqs, high, nb)
+        layout = _maybe_layout(nfreqs)
+        dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
+                                    slots=layout is None)
         return _decode_stream(buf, pos + plen, n, dt)

@@ -10,17 +10,28 @@ vbyte+interp prelude; the wire format is self-defined (the reference's
 is its own too — no cross-compatibility requirement for baselines).
 
 Host implementation: the coder is inherently sequential (single carry
-chain), so it stays NumPy/Python — it exists as a measurement baseline,
-not a north-star target (SURVEY.md section 7 step 5).
+chain), so it runs as a compiled loop in the native backend
+(ans_native.cpp arith_encode/arith_decode, same pattern as shuff/tans;
+the reference's coder is compiled sequential code too, arith.hpp:
+245-483), with the original NumPy/Python loops kept as the no-native
+fallback.  It exists as a measurement baseline, not a north-star target
+(SURVEY.md section 7 step 5).
 """
 
 from __future__ import annotations
 
 import bisect
+import time
 
 import numpy as np
 
 from ..reference_model import interp, vbyte
+from ..utils.stats import record_stats
+
+
+def _native():
+    from .. import native
+    return native.lib
 
 _TOP = 1 << 56
 _BOT = 1 << 48
@@ -78,6 +89,7 @@ class Arith:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
+        t0 = time.perf_counter_ns()
         max_sym = int(values.max())
         counts = np.bincount(values, minlength=max_sym + 1)
         syms = np.flatnonzero(counts)
@@ -98,13 +110,26 @@ class Arith:
         pre2 = interp.encode(inc, sigma, total + sigma + 1)
         out += vbyte.encode_u32(len(pre2))
         out += pre2
+        t1 = time.perf_counter_ns()
 
         rank = np.zeros(max_sym + 1, dtype=np.int64)
         rank[syms] = np.arange(sigma)
         ids = rank[values]
+        lib = _native()
+        if lib is not None:
+            payload = lib.arith_encode(cum, freq, ids, total_log2)
+        else:
+            payload = self._encode_payload_python(cum, freq, ids, total)
+        record_stats(prelude_bytes=len(out), encode_bytes=len(payload),
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
+        out += payload
+        return bytes(out)
+
+    @staticmethod
+    def _encode_payload_python(cum, freq, ids, total) -> bytes:
         lo_arr = cum[ids].tolist()
         f_arr = freq[ids].tolist()
-
         low, rng = 0, _MASK
         payload = bytearray()
         for lo_, f_ in zip(lo_arr, f_arr):
@@ -124,8 +149,7 @@ class Arith:
         for _ in range(8):
             payload.append((low >> 56) & 0xFF)
             low = (low << 8) & _MASK
-        out += payload
-        return bytes(out)
+        return bytes(payload)
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         max_sym, pos = vbyte.decode_u32(buf, 0)
@@ -145,6 +169,10 @@ class Arith:
         freq[0] = int(inc[0])
         cum = np.concatenate(([0], np.cumsum(freq)))
         syms = np.asarray(syms, dtype=np.uint32)
+        lib = _native()
+        if lib is not None:
+            ids = lib.arith_decode(bytes(buf[pos:]), cum, total_log2, n)
+            return syms[ids]
         cum_l = cum.tolist()
         freq_l = freq.tolist()
 

@@ -37,11 +37,7 @@ def _pallas_env_ok(S: int) -> bool:
             and S >= 128 and S % 128 == 0)
 
 
-def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
-    """Pallas encode scan applies when ub stays below 2^31 (max freq
-    < M <= 2^22; M <= 2^16 packs freq<<16|base in one word, larger
-    frames split the tables), the alphabet's shuffle-lookup stays
-    bounded, and lanes fill whole vector rows."""
+def _encode_env_ok(et: tables.EncTable, S: int) -> bool:
     if not _pallas_env_ok(S):
         return False
     # R = S/128 must be a power of two: the placement kernel maps rows
@@ -51,15 +47,32 @@ def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
     M = et.frame_size
     if M < 2 or M > (1 << 22):
         return False
-    if len(et.freq) > (1 << 13):  # sym->table lookup rows cap
-        return False
     return int(et.freq.max()) < M
+
+
+def encode_pallas_ok(et: tables.EncTable, S: int) -> bool:
+    """Pallas encode scan applies when ub stays below 2^31 (max freq
+    < M <= 2^22; M <= 2^16 packs freq<<16|base in one word, larger
+    frames split the tables), the alphabet's shuffle-lookup stays
+    bounded, and lanes fill whole vector rows.  Alphabets past the
+    lookup cap use the grouped scan instead (encode_grouped_ok)."""
+    if not _encode_env_ok(et, S):
+        return False
+    return len(et.freq) <= (1 << 13)  # sym->table lookup rows cap
+
+
+def encode_grouped_ok(et: tables.EncTable, S: int, layout) -> bool:
+    """Grouped encode scan: rank-space prefetch bounded by the group
+    count (ops/grouped.py), any sigma."""
+    return layout is not None and _encode_env_ok(et, S)
 
 
 def _pallas_ok(dt: tables.DecTable, S: int) -> bool:
     if not _pallas_env_ok(S):
         return False
-    if int(dt.freq.max()) >= 1 << 16:
+    fmax = (int(dt.freq.max()) if dt.freq is not None
+            else int(np.asarray(dt.nfreqs).max()))
+    if fmax >= 1 << 16:
         return False  # freq|offset word packing needs u16 fields
     return dt.frame_size <= PALLAS_MAX_FRAME
 
@@ -87,34 +100,66 @@ def _search_cost(dt: tables.DecTable):
     return cost
 
 
+def _grouped_cost(dt: tables.DecTable):
+    """Estimated per-step vector-op count of the grouped kernel (None
+    when the table has no grouped layout).  Mirrors
+    pallas_decode._kernel_grouped: group search + three NG lookups +
+    the bit-packed value/high plane scans."""
+    lay = dt.layout
+    if lay is None:
+        return None
+    from ..ops import grouped as _g
+    NGr = max(1, -(-lay.num_groups // 128))
+    cost = 9 * NGr + 10                        # f/r0/magic + divide
+    for k in range(lay.slot_depth):
+        rows = max(1, -(-(1 << (lay.slot_depth - 1 - k)) // 128))
+        cost += 3 * rows + 4
+    gt = _g.build_group_table(lay, dt.sym_high, dt.sym_nb)
+    planes = gt.high_planes if gt.has_exc else gt.val_planes
+    cost += sum(3 * p.rows for p in planes)
+    if gt.nb_plane is not None:
+        cost += 3 * gt.nb_plane.rows
+    return cost
+
+
 def choose_decode_engine(dt: tables.DecTable, S: int) -> str:
-    """'search' | 'direct' | 'xla' (env ANS_TPU_DECODE_ENGINE forces,
-    but only within eligibility — a forced Pallas engine on a table it
-    cannot represent would stage garbage, so ineligible forces fall
-    back with a warning)."""
+    """'grouped' | 'search' | 'direct' | 'xla' (env
+    ANS_TPU_DECODE_ENGINE forces, but only within eligibility — a
+    forced Pallas engine on a table it cannot represent would stage
+    garbage, so ineligible forces fall back with a warning).
+
+    The search engine assumes value-cumulative slot order and the
+    grouped engine the frequency-grouped order (the slot layout is a
+    format property derived from the prelude, ops/grouped.py), so each
+    is only eligible under its own layout; the direct and XLA engines
+    read per-slot tables and work under either."""
     env = os.environ.get("ANS_TPU_DECODE_ENGINE")
     if env:
         eligible = (env == "xla"
                     or (env == "direct" and _pallas_ok(dt, S))
-                    or (env == "search" and _pallas_env_ok(S)
-                        and _search_cost(dt) is not None))
+                    or (env == "search" and dt.layout is None
+                        and _pallas_env_ok(S)
+                        and _search_cost(dt) is not None)
+                    or (env == "grouped" and dt.layout is not None
+                        and _pallas_env_ok(S)))
         if eligible:
             return env
         import warnings
         warnings.warn(
             f"ANS_TPU_DECODE_ENGINE={env!r} is not eligible for this "
-            f"table (sigma/frame/backend out of range); falling back to "
-            f"automatic engine choice", stacklevel=2)
+            f"table (sigma/frame/backend/layout out of range); falling "
+            f"back to automatic engine choice", stacklevel=2)
     if not _pallas_env_ok(S):
         return "xla"
     direct = (6 * -(-dt.frame_size // 128) if _pallas_ok(dt, S)
               else None)
-    search = _search_cost(dt)
-    if direct is None and search is None:
+    alt = (("grouped", _grouped_cost(dt)) if dt.layout is not None
+           else ("search", _search_cost(dt)))
+    if direct is None and alt[1] is None:
         return "xla"
-    if search is None or (direct is not None and direct <= search):
+    if alt[1] is None or (direct is not None and direct <= alt[1]):
         return "direct"
-    return "search"
+    return alt[0]
 
 
 class PreparedDecoder:
@@ -126,7 +171,15 @@ class PreparedDecoder:
         self.n, self.S, self.T = n, S, T
         self.engine = (choose_decode_engine(dt, S) if t_sec is not None
                        else "xla")
-        if self.engine == "search":
+        if self.engine == "grouped":
+            from ..ops import grouped, pallas_decode
+            gt = grouped.build_group_table(dt.layout, dt.sym_high,
+                                           dt.sym_nb)
+            (self._args, self._kw) = pallas_decode.stage_grouped(
+                payload, states, gt, n, S=S, T=T, t_sec=t_sec,
+                sec_len=sec_len, TC=TC)
+            self._fn = pallas_decode._call_grouped
+        elif self.engine == "search":
             from ..ops import pallas_decode
             st = tables.build_search_table(dt.nfreqs, dt.sym_high,
                                            dt.sym_nb)
@@ -136,11 +189,13 @@ class PreparedDecoder:
             self._fn = pallas_decode._call_search
         elif self.engine == "direct":
             from ..ops import pallas_decode
+            dt = tables.materialize_slots(dt)
             (self._args, self._kw) = pallas_decode.stage(
                 payload, states, dt, n, S=S, T=T, has_exc=has_exc,
                 t_sec=t_sec, sec_len=sec_len, TC=TC)
             self._fn = pallas_decode._call
         else:
+            dt = tables.materialize_slots(dt)
             stream = np.concatenate([payload, np.zeros(8, np.uint8)])
             dummy = np.zeros(1, np.uint32)
             self._args = (

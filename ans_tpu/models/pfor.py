@@ -14,9 +14,12 @@ Block layout: u8 b | u8 n_exc | n_exc * u8 positions
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from ..reference_model import vbyte
+from ..utils.stats import record_stats
 
 BLOCK = 128
 
@@ -110,10 +113,13 @@ class OptPFor:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
+        t0 = time.perf_counter_ns()
         n = len(values)
         nb = n // BLOCK
         tail_vb, _ = _vbyte_np(values[nb * BLOCK:])
         if nb == 0:
+            record_stats(encode_bytes=len(tail_vb),
+                         encode_time_ns=time.perf_counter_ns() - t0)
             return tail_vb
         blocks = values[: nb * BLOCK].reshape(nb, BLOCK)
         widths = _best_width_all(blocks)
@@ -161,7 +167,12 @@ class OptPFor:
                 np.uint8), axis=1, bitorder="little")
             buf[pay_dst[rows][:, None]
                 + np.arange(16 * int(b))] = packed
-        return buf.tobytes() + tail_vb
+        out = buf.tobytes() + tail_vb
+        # no separate model/prelude phase: per-block headers ride the
+        # stream, so the whole cost is encode time (P7 split)
+        record_stats(encode_bytes=len(out),
+                     encode_time_ns=time.perf_counter_ns() - t0)
+        return out
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         out = np.empty(n, dtype=np.uint32)

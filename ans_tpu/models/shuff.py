@@ -23,6 +23,8 @@ pathological cases), so every code fits a u32.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from ..reference_model import interp, vbyte
@@ -181,6 +183,7 @@ class Shuff:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
+        t0 = time.perf_counter_ns()
         max_sym = int(values.max())
         counts = np.bincount(values, minlength=max_sym + 1)
         syms = np.flatnonzero(counts)
@@ -194,17 +197,21 @@ class Shuff:
         out += vbyte.encode_u32(sigma)
         out += vbyte.encode_u32(max_len)
         out += interp.encode(syms, sigma, max_sym + 1)
-        prelude_len = len(out)
-        # 6-bit lens, MSB-first, byte-padded
+        # 6-bit lens, MSB-first, byte-padded (model data -> prelude side
+        # of the split, like the reference's RECORD_STATS accounting)
         out += self._pack(lens.astype(np.uint32),
                           np.full(sigma, 6, np.int64))
+        prelude_len = len(out)
+        t1 = time.perf_counter_ns()
         # payload: rank-map values to dense ids, pack their codes
         rank = np.zeros(max_sym + 1, dtype=np.uint32)
         rank[syms] = np.arange(sigma, dtype=np.uint32)
         ids = rank[values]
         out += self._pack(codes[ids], lens[ids])
         record_stats(prelude_bytes=prelude_len,
-                     encode_bytes=len(out) - prelude_len)
+                     encode_bytes=len(out) - prelude_len,
+                     prelude_time_ns=t1 - t0,
+                     encode_time_ns=time.perf_counter_ns() - t1)
         return bytes(out)
 
     @staticmethod

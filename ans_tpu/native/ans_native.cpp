@@ -374,6 +374,128 @@ int64_t tans_decode(const uint8_t* payload, int64_t total_bits,
     return 0;
 }
 
+// --------------------------------------------------- arith range coder ---
+// Compiled twins of the models/arith.py hot loops (64-bit carryless
+// range coder, Subbotin scheme).  Bit-exact with the Python loops: all
+// arithmetic is mod 2^64, the model (cum/freq) is built by the caller.
+// The coder stays inherently sequential (single carry chain) — the
+// reference's is a compiled sequential loop too (arith.hpp:245-483);
+// this closes the two-orders-of-magnitude gap of the pure-Python
+// baseline without changing the wire format.
+
+static const uint64_t ARITH_TOP = 1ULL << 56;
+static const uint64_t ARITH_BOT = 1ULL << 48;
+
+// Sequential-input variant: the caller pre-gathers cum<<32|freq per
+// symbol with one vectorized numpy take (the random per-symbol table
+// reads were the bottleneck of the id-indexed loop: ~127ns/sym on a
+// 2MB model vs ~10ns streaming).  Requires tl2 <= 31 (32/32 packing).
+int64_t arith_encode_packed(const uint64_t* lofq, int64_t n,
+                            uint32_t tl2, uint8_t* out, int64_t cap) {
+    uint64_t low = 0, rng = ~0ULL;
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = lofq[i];
+        uint64_t r = rng >> tl2;
+        low += r * (v >> 32);
+        rng = r * (v & 0xFFFFFFFFULL);
+        for (;;) {
+            if ((low ^ (low + rng)) < ARITH_TOP) {
+            } else if (rng < ARITH_BOT) {
+                rng = (0 - low) & (ARITH_BOT - 1);
+            } else {
+                break;
+            }
+            if (w >= cap) return -1;
+            out[w++] = (uint8_t)(low >> 56);
+            low <<= 8;
+            rng <<= 8;
+        }
+    }
+    for (int j = 0; j < 8; j++) {
+        if (w >= cap) return -1;
+        out[w++] = (uint8_t)(low >> 56);
+        low <<= 8;
+    }
+    return w;
+}
+
+int64_t arith_encode(const uint64_t* cum, const int64_t* freq,
+                     const uint32_t* ids, int64_t n, uint32_t tl2,
+                     uint8_t* out, int64_t cap) {
+    // the model total is always 2^tl2 (arith.py _scale_counts), so the
+    // per-symbol u64 division of the generic scheme is a shift
+    uint64_t low = 0, rng = ~0ULL;
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t k = ids[i];
+        uint64_t r = rng >> tl2;
+        low += r * cum[k];
+        rng = r * (uint64_t)freq[k];
+        for (;;) {
+            if ((low ^ (low + rng)) < ARITH_TOP) {
+            } else if (rng < ARITH_BOT) {
+                rng = (0 - low) & (ARITH_BOT - 1);
+            } else {
+                break;
+            }
+            if (w >= cap) return -1;
+            out[w++] = (uint8_t)(low >> 56);
+            low <<= 8;
+            rng <<= 8;
+        }
+    }
+    for (int j = 0; j < 8; j++) {
+        if (w >= cap) return -1;
+        out[w++] = (uint8_t)(low >> 56);
+        low <<= 8;
+    }
+    return w;
+}
+
+int64_t arith_decode(const uint8_t* buf, int64_t nbytes,
+                     const uint64_t* cum, int64_t sigma, uint32_t tl2,
+                     const uint32_t* jump, int64_t n,
+                     uint32_t* out_ids) {
+    // jump: 2^16+1 entries, jump[b] = last k with cum[k] <= b << (tl2-16)
+    // (numpy-searchsorted by the caller) — narrows the per-symbol search
+    // to one bucket's symbols (usually 0-2 probe steps on skewed data)
+    (void)sigma;
+    const uint64_t total = 1ULL << tl2;
+    const uint32_t jshift = tl2 - 16;
+    uint64_t low = 0, rng = ~0ULL, code = 0;
+    int64_t p = 0;
+    for (int j = 0; j < 8; j++)
+        code = (code << 8) | (p < nbytes ? buf[p++] : (p++, 0));
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t r = rng >> tl2;
+        uint64_t target = (code - low) / r;
+        if (target > total - 1) target = total - 1;
+        uint64_t b = target >> jshift;
+        int64_t lo = jump[b], hi = (int64_t)jump[b + 1] + 1;
+        while (hi - lo > 1) {
+            int64_t mid = (lo + hi) >> 1;
+            if (cum[mid] <= target) lo = mid; else hi = mid;
+        }
+        out_ids[i] = (uint32_t)lo;
+        uint64_t f = cum[lo + 1] - cum[lo];
+        low += r * cum[lo];
+        rng = r * f;
+        for (;;) {
+            if ((low ^ (low + rng)) < ARITH_TOP) {
+            } else if (rng < ARITH_BOT) {
+                rng = (0 - low) & (ARITH_BOT - 1);
+            } else {
+                break;
+            }
+            code = (code << 8) | (p < nbytes ? buf[p++] : (p++, 0));
+            low <<= 8;
+            rng <<= 8;
+        }
+    }
+    return p;
+}
+
 }  // extern "C"
 
 // ------------------------------------------------- interpolative coder ---

@@ -287,6 +287,26 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
+def _stage_stream(payload: np.ndarray, sec_len, WR: int,
+                  sw_bytes: int | None):
+    """Stack stream sections into one (nsec, SWr, 128) i32 buffer with
+    WR*512 bytes of slack per section (the window gathers may read past
+    a section's last byte).  sw_bytes overrides the per-section buffer
+    size (block_runtime passes the mesh-wide max so every device shares
+    one static shape)."""
+    sec_len = np.asarray(sec_len, dtype=np.int64)
+    nsec = len(sec_len)
+    if sw_bytes is None:
+        sw_bytes = int(sec_len.max()) + WR * 512
+        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
+    mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
+    off = 0
+    for s in range(nsec):
+        mat[s, : sec_len[s]] = payload[off:off + sec_len[s]]
+        off += int(sec_len[s])
+    return mat.view("<i4").reshape(nsec, -1, 128)
+
+
 # --------------------------------------------------------------------------
 # pivot-search kernel: slot -> symbol by bitwise binary search
 # --------------------------------------------------------------------------
@@ -618,3 +638,228 @@ def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
                      t_sec=t_sec, sec_len=sec_len, TC=TC,
                      split_win=split_win, interpret=interpret)
     return _call(*args, **kw)
+
+
+# --------------------------------------------------------------------------
+# frequency-grouped kernel: state update from NG-sized tables only
+# --------------------------------------------------------------------------
+#
+# The pivot-search kernel scans ~sigma/128 pivot rows per step, so truly
+# large alphabets (sigma 2^14..2^20: ans_int over zipf-2^20, word ids,
+# uniform16/20) had no production path.  Under the frequency-grouped
+# slot layout (ops/grouped.py) the state update needs only:
+#   * a binary search over the NG <= sqrt(2M) <= 2896 group slot
+#     boundaries (a dozen probe levels totalling ~25 rows),
+#   * three NG-sized lookups (f, GM magic, first rank), and
+#   * one exact Granlund-Montgomery division by f (the same multiply-
+#     high construction the encode kernel uses, pallas_encode._mulhi32).
+# The only sigma-sized reads left are the bit-packed value/high planes
+# (rank -> output), off the sequential critical path and costing
+# ceil(sigma/(32/bits))/128 shuffle rows shared by all S lanes.
+# Reference counterpart: ans_int.hpp:106-161 shrinks per-slot entries by
+# table size; here the per-slot table is gone entirely.
+
+
+def _plane_lookup(rows_arr, idx, nrows, bits, B):
+    """Read entry idx from a bit-packed plane table ((nrows,128) i32 of
+    32/bits-entry words; ops/grouped.Plane layout)."""
+    per = 32 // bits
+    word = _lookup(rows_arr, jax.lax.shift_right_logical(
+        idx, per.bit_length() - 1), nrows, B)
+    sh = (idx & (per - 1)) * bits
+    return jax.lax.shift_right_logical(word, sh) & ((1 << bits) - 1)
+
+
+def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
+                    gmg_ref, *rest, S, R, TC, T_SEC, NGr, WR, log2m, M,
+                    gdepth, gprows, planespec, nbrows, has_exc, NR, NE,
+                    split_win):
+    from .pallas_encode import _mulhi32
+    gpiv_refs = rest[:gdepth]
+    plane_refs = rest[gdepth:gdepth + len(planespec)]
+    pos = gdepth + len(planespec)
+    nb_ref = rest[pos] if has_exc else None
+    pos += 1 if has_exc else 0
+    out_ref = rest[pos]
+    state_scr, cur_scr = rest[pos + 1], rest[pos + 2]
+    sec = pl.program_id(0)
+    tc = pl.program_id(1)
+    mask = (1 << log2m) - 1
+    L = A_L
+    _lsr = jax.lax.shift_right_logical
+
+    @pl.when((sec == 0) & (tc == 0))
+    def _init():
+        state_scr[:] = states_ref[:]
+
+    @pl.when(tc == 0)
+    def _new_section():
+        cur_scr[:] = jnp.zeros((1, 128), jnp.int32)
+
+    lane_global = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+    n_val = n_ref[0, 0]
+    gf = gf_ref[:]
+    gr0 = gr0_ref[:]
+    gmg = gmg_ref[:]
+    gpivs = [p[:] for p in gpiv_refs]
+    planes = [p[:] for p in plane_refs]
+    nbp = nb_ref[:] if has_exc else None
+
+    def step(i, carry):
+        state, cursor = carry            # (R,128) i32, (1,128) i32
+        t = sec * T_SEC + tc * TC + i
+        valid = (t * S + lane_global) < n_val
+        slot = state & mask
+        # group search: m doubles in running-rank form (the pivot index
+        # at level k is m itself); lb tracks the bracketing boundary, so
+        # g_slot0[m] falls out of the search for free
+        m = jnp.zeros((R, 128), jnp.int32)
+        lb = jnp.zeros((R, 128), jnp.int32)
+        for k in range(gdepth - 1, -1, -1):
+            if gprows[k] == 1:
+                pv = _take1(gpivs[k], m, R)
+            else:
+                pv = _lookup(gpivs[k], m, gprows[k], R)
+            take = slot >= pv
+            m = m + m + take.astype(jnp.int32)
+            lb = jnp.where(take, pv, lb)
+        f = _lookup(gf, m, NGr, R)
+        r0 = _lookup(gr0, m, NGr, R)
+        mg = _lookup(gmg, m, NGr, R)
+        x = slot - lb
+        # j = x / f exactly: GM multiply-high; f == 1 selected around
+        e = _lsr(pltpu.bitcast((f - 1).astype(jnp.float32), jnp.int32),
+                 23) - 127
+        sh = jnp.maximum(e, 0)
+        mh = _mulhi32(x, mg)
+        j = _lsr(mh + _lsr(x - mh, 1), sh)
+        j = jnp.where(f == 1, x, j)
+        rank = r0 + j
+        st0 = f * _lsr(state, log2m) + (x - j * f)
+        st0 = jnp.where(valid, st0, state)
+        ms = [(valid & (st0 < (L >> (8 * jj)))).astype(jnp.int32)
+              for jj in range(NR)]
+        if has_exc:
+            nb = _plane_lookup(nbp, rank, nbrows, 2, R)
+            nb = jnp.where(valid, nb, 0)
+            ms += [(nb > jj).astype(jnp.int32) for jj in range(NE)]
+        st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
+                                        R, NR, NE, WR,
+                                        split_win=split_win)
+        if planespec:
+            comp = jnp.zeros((R, 128), jnp.int32)
+            for pref, (bits, rows, shift) in zip(planes, planespec):
+                comp = comp | (_plane_lookup(pref, rank, rows, bits, R)
+                               << shift)
+        else:
+            comp = rank                  # identity: rank IS the value
+        val = comp + low if has_exc else comp
+        out_ref[0, pl.ds(i, 1)] = pltpu.bitcast(val, jnp.uint32)[None]
+        return st, cursor + step_tot
+
+    st, cur = jax.lax.fori_loop(
+        0, TC, step, (state_scr[:], cur_scr[:]))
+    state_scr[:] = st
+    cur_scr[:] = cur
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "NGr",
+                                    "WR", "SWr", "log2m", "M", "gdepth",
+                                    "gprows", "planespec", "nbrows",
+                                    "has_exc", "NR", "NE", "split_win",
+                                    "interpret"))
+def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
+                  T_SEC, NSEC, NGr, WR, SWr, log2m, M, gdepth, gprows,
+                  planespec, nbrows, has_exc, NR, NE, split_win=False,
+                  interpret=False):
+    num_tc = T_SEC // TC
+    nextra = gdepth + len(planespec) + (1 if has_exc else 0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped, S=S, R=R, TC=TC, T_SEC=T_SEC,
+                          NGr=NGr, WR=WR, log2m=log2m, M=M, gdepth=gdepth,
+                          gprows=gprows, planespec=planespec,
+                          nbrows=nbrows, has_exc=has_exc, NR=NR, NE=NE,
+                          split_win=split_win),
+        grid=(NSEC, num_tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # states
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # n
+            pl.BlockSpec((1, SWr, 128), lambda s, t: (s, 0, 0),
+                         memory_space=pltpu.VMEM),          # stream words
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # g_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # g_rank0
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # g_magic
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nextra,
+        out_specs=pl.BlockSpec((1, TC, R, 128),
+                               lambda s, t: (s, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NSEC, T_SEC, R, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(states2d, jnp.asarray([[n]], jnp.int32), stream3d, gf, gr0, gmg,
+      *rest)
+    return out.reshape(NSEC * T_SEC, S)
+
+
+def stage_grouped(payload: np.ndarray, states: np.ndarray, gt, n: int, *,
+                  S: int, T: int, t_sec: int, sec_len, TC: int = 128,
+                  sw_bytes: int | None = None, split_win: bool = True,
+                  to_device: bool = True, interpret: bool = False):
+    """Stage inputs for the grouped kernel.  gt: grouped.GroupTable.
+    Returns (args, kwargs) for _call_grouped."""
+    lay = gt.layout
+    NG = lay.num_groups
+    NGr = max(1, -(-NG // 128))
+    NR = max_renorm_rounds(lay.log2m)
+    NE = gt.max_nb if gt.has_exc else 0
+    WR = -(-(512 + (NR + NE) * S) // 512) + 1
+    R = S // 128
+    while TC * R * 512 * 2 > (6 << 20) and TC > 8:
+        TC //= 2
+    while t_sec % TC:
+        TC //= 2
+    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
+    gprows, gpivs = [], []
+    for p in lay.slot_pivots:
+        r = max(1, -(-len(p) // 128))
+        gprows.append(r)
+        gpivs.append(jnp.asarray(_pad_rows(p.view(np.int32), r)))
+    planes = gt.high_planes if gt.has_exc else gt.val_planes
+    planespec = tuple((p.bits, p.rows, p.shift) for p in planes)
+    plane_arrs = [jnp.asarray(_pad_rows(p.words.view(np.int32), p.rows))
+                  for p in planes]
+    rest = tuple(gpivs) + tuple(plane_arrs)
+    nbrows = 1
+    if gt.has_exc:
+        nbrows = gt.nb_plane.rows
+        rest += (jnp.asarray(_pad_rows(gt.nb_plane.words.view(np.int32),
+                                       nbrows)),)
+    dev = jnp.asarray if to_device else (lambda x: x)
+    args = (dev(stream3d),
+            dev(states.view(np.int32).reshape(R, 128)),
+            n,
+            jnp.asarray(_pad_rows(lay.g_f.view(np.int32), NGr)),
+            jnp.asarray(_pad_rows(lay.g_rank0.view(np.int32), NGr)),
+            jnp.asarray(_pad_rows(lay.g_magic.view(np.int32), NGr))
+            ) + rest
+    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=stream3d.shape[0],
+              NGr=NGr, WR=WR, SWr=stream3d.shape[1], log2m=lay.log2m,
+              M=lay.frame_size, gdepth=lay.slot_depth,
+              gprows=tuple(gprows), planespec=planespec, nbrows=nbrows,
+              has_exc=gt.has_exc, NR=NR, NE=NE, split_win=split_win,
+              interpret=interpret)
+    return args, kw
+
+
+def decode_grouped(payload, states, gt, n, *, S, T, t_sec, sec_len,
+                   TC=128, split_win=True, interpret=False):
+    """One-shot host wrapper for the grouped kernel."""
+    args, kw = stage_grouped(payload, states, gt, n, S=S, T=T,
+                             t_sec=t_sec, sec_len=sec_len, TC=TC,
+                             split_win=split_win, interpret=interpret)
+    return _call_grouped(*args, **kw)

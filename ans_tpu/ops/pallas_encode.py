@@ -74,8 +74,56 @@ def _mulhi32(a, b):
     return a1 * b1 + _lsr(mid1, 16) + _lsr(mid2, 16) + _lsr(cross, 16)
 
 
-def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, out_ref, states_ref,
-            state_scr, *, S, R, TC, NT, G, Msr, log2m, big_m):
+def _lookup_acc(rows, idx, Mr, B, chunk=16):
+    """_lookup with bounded live memory: terms are OR-tree-combined in
+    chunks of `chunk` rows and accumulated sequentially, so the scoped
+    VMEM stays ~chunk*(B,128) instead of Mr*(B,128) — needed for the
+    large value->rank plane scans (hundreds of rows over (G*R,128))."""
+    lo = idx & 127
+    hi = idx >> 7
+    acc = None
+    for c0 in range(0, Mr, chunk):
+        terms = []
+        for h in range(c0, min(c0 + chunk, Mr)):
+            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
+            y = jnp.take_along_axis(row, lo, axis=1)
+            terms.append(jnp.where(hi == h, y, 0))
+        while len(terms) > 1:
+            nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) & 1:
+                nxt.append(terms[-1])
+            terms = nxt
+        acc = terms[0] if acc is None else acc | terms[0]
+    return acc
+
+
+def _plane_lookup_acc(rows_arr, idx, nrows, bits, B):
+    """Bit-packed plane read (ops/grouped.Plane) with chunked lookup."""
+    per = 32 // bits
+    word = _lookup_acc(rows_arr, _lsr(idx, per.bit_length() - 1),
+                       nrows, B)
+    sh = (idx & (per - 1)) * bits
+    return _lsr(word, sh) & ((1 << bits) - 1)
+
+
+def _take1(row, idx, B):
+    return jnp.take_along_axis(jnp.broadcast_to(row, (B, 128)), idx,
+                               axis=1)
+
+
+def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, *rest, S, R, TC, NT,
+            G, Msr, log2m, big_m, grouped=False, gdepth=0, gprows=(),
+            vrspec=()):
+    """grouped=False: value-indexed tables (t1 freq<<16|base or split
+    freq / t2 magic / tb base).  grouped=True: rank-space group tables
+    (t1 g_f / t2 g_magic / tb g_slot0) + rank-boundary pivot levels in
+    rest; base(rank) = g_slot0 + (rank - g_rank0)*f with g found by
+    binary search (ops/grouped.py).  vrspec: optional bit-packed
+    value->rank planes applied to the input symbols first (device-mapped
+    alphabets like ans_msb that never pass through the host)."""
+    gpiv_refs = rest[:gdepth]
+    vr_refs = rest[gdepth:gdepth + len(vrspec)]
+    out_ref, states_ref, state_scr = rest[gdepth + len(vrspec):]
     gid = pl.program_id(0)
     chunk = NT - 1 - gid                # walk chunks backwards
 
@@ -88,21 +136,46 @@ def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, out_ref, states_ref,
     n_val = n_ref[0, 0]
     t1 = t1_ref[:]
     t2 = t2_ref[:]
-    tb = tb_ref[:] if big_m else None
+    tb = tb_ref[:] if (big_m or grouped) else None
+    gpivs = [p[:] for p in gpiv_refs]
+    vrs = [p[:] for p in vr_refs]
     NB = TC // G
 
     def batch(bi, state):
         rb = NB - 1 - bi                # batches walk backwards
         blk = wa_ref[0, pl.ds(rb * G, G)]          # (G, R, 128)
         syms = blk.reshape(G * R, 128) & ((1 << 24) - 1)
-        if big_m:
+        if vrspec:
+            rk = jnp.zeros((G * R, 128), jnp.int32)
+            for vref, (bits, rows, shift) in zip(vrs, vrspec):
+                rk = rk | (_plane_lookup_acc(vref, syms, rows, bits,
+                                             G * R) << shift)
+            syms = rk
+        if grouped:
+            # group-of-rank search; lb tracks g_rank0[m] for free
+            m = jnp.zeros((G * R, 128), jnp.int32)
+            lbr = jnp.zeros((G * R, 128), jnp.int32)
+            for k in range(gdepth - 1, -1, -1):
+                if gprows[k] == 1:
+                    pv = _take1(gpivs[k], m, G * R)
+                else:
+                    pv = _lookup(gpivs[k], m, gprows[k], G * R)
+                take = syms >= pv
+                m = m + m + take.astype(jnp.int32)
+                lbr = jnp.where(take, pv, lbr)
+            fb = _lookup(t1, m, Msr, G * R)        # g_f
+            mg = _lookup(t2, m, Msr, G * R)        # g_magic
+            s0 = _lookup(tb, m, Msr, G * R)        # g_slot0
+            bb = s0 + (syms - lbr) * fb
+        elif big_m:
             fb = _lookup(t1, syms, Msr, G * R)
             bb = _lookup(tb, syms, Msr, G * R)
+            mg = _lookup(t2, syms, Msr, G * R)     # GM magic
         else:
             w1 = _lookup(t1, syms, Msr, G * R)     # freq<<16 | base
             fb = _lsr(w1, 16)
             bb = w1 & 0xFFFF
-        mg = _lookup(t2, syms, Msr, G * R)         # GM magic
+            mg = _lookup(t2, syms, Msr, G * R)     # GM magic
         # divide shift = max(ceil(log2 f) - 1, 0) = the f32 exponent of
         # f-1, clamped (exact: f-1 < 2^22 < 2^24)
         e = _lsr(pltpu.bitcast((fb - 1).astype(jnp.float32), jnp.int32),
@@ -155,12 +228,15 @@ def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, out_ref, states_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "R", "TC", "NT", "G", "Msr",
-                                    "log2m", "big_m", "interpret"))
-def _call(wa, n, t1, t2, tb, *, S, R, TC, NT, G, Msr, log2m, big_m,
+                                    "log2m", "big_m", "grouped", "gdepth",
+                                    "gprows", "vrspec", "interpret"))
+def _call(wa, n, t1, t2, tb, *rest, S, R, TC, NT, G, Msr, log2m, big_m,
+          grouped=False, gdepth=0, gprows=(), vrspec=(),
           interpret=False):
     out, states = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, NT=NT, G=G, Msr=Msr,
-                          log2m=log2m, big_m=big_m),
+                          log2m=log2m, big_m=big_m, grouped=grouped,
+                          gdepth=gdepth, gprows=gprows, vrspec=vrspec),
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((1, TC, R, 128), lambda g: (NT - 1 - g, 0, 0, 0),
@@ -169,7 +245,7 @@ def _call(wa, n, t1, t2, tb, *, S, R, TC, NT, G, Msr, log2m, big_m,
             pl.BlockSpec(memory_space=pltpu.VMEM),          # t1
             pl.BlockSpec(memory_space=pltpu.VMEM),          # t2
             pl.BlockSpec(memory_space=pltpu.VMEM),          # tb
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(rest),
         out_specs=(
             pl.BlockSpec((1, TC, R, 128), lambda g: (NT - 1 - g, 0, 0, 0),
                          memory_space=pltpu.VMEM),          # packed words
@@ -181,7 +257,7 @@ def _call(wa, n, t1, t2, tb, *, S, R, TC, NT, G, Msr, log2m, big_m,
         ),
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
         interpret=interpret,
-    )(wa, jnp.asarray([[n]], jnp.int32), t1, t2, tb)
+    )(wa, jnp.asarray([[n]], jnp.int32), t1, t2, tb, *rest)
     return out.reshape(NT * TC, S), states.reshape(S)
 
 
@@ -239,4 +315,50 @@ def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
         tb,
         S=S, R=R, TC=TC, NT=NT, G=G, Msr=Msr, log2m=et.log2m,
         big_m=big_m, interpret=interpret)
+    return out, states, T_pad
+
+
+def encode_scan_grouped(syms_ts, n, layout, *, S, T, TC=128, G=None,
+                        vr_planes=None, interpret=False):
+    """Grouped-layout encode scan (ops/grouped.py): the per-symbol
+    prefetch runs in RANK space, so table cost is bounded by the group
+    count NG <= sqrt(2M) regardless of sigma.
+
+    syms_ts: (T, S) device array of RANKS (host-remapped), or of raw
+    mapped symbols when vr_planes (ops/grouped.pack_planes of
+    layout.rank_of) is given — the kernel then applies the value->rank
+    planes itself (device-mapped alphabets like ans_msb).
+    """
+    NG = layout.num_groups
+    NGr = max(1, -(-NG // 128))
+    NT = -(-T // TC)
+    T_pad = NT * TC
+    R = S // 128
+    vr_planes = vr_planes or ()
+    vrspec = tuple((p.bits, p.rows, p.shift) for p in vr_planes)
+    # VMEM budget: prefetch materializes ~3 NGr-row lookups + gdepth
+    # probe levels over (G*R,128); vr planes are chunk-accumulated (live
+    # ~16 rows).  Reuse choose_g with an effective row count.
+    eff_rows = 3 * NGr + sum(min(r, 16) for _, r, _ in vrspec) + 16
+    G = choose_g(eff_rows * 128, S, layout.log2m, TC,
+                 16 if G is None else G)
+    wa = jnp.pad(syms_ts.astype(jnp.int32),
+                 ((0, T_pad - T), (0, 0))).reshape(NT, TC, R, 128)
+    gprows, gpivs = [], []
+    for p in layout.rank_pivots:
+        r = max(1, -(-len(p) // 128))
+        gprows.append(r)
+        gpivs.append(jnp.asarray(_pad_rows(np.ascontiguousarray(p), r)))
+    rest = tuple(gpivs) + tuple(
+        jnp.asarray(_pad_rows(p.words.astype(np.uint32), p.rows))
+        for p in vr_planes)
+    out, states = _call(
+        wa, n,
+        jnp.asarray(_pad_rows(layout.g_f.astype(np.uint32), NGr)),
+        jnp.asarray(_pad_rows(layout.g_magic.astype(np.uint32), NGr)),
+        jnp.asarray(_pad_rows(layout.g_slot0.astype(np.uint32), NGr)),
+        *rest,
+        S=S, R=R, TC=TC, NT=NT, G=G, Msr=NGr, log2m=layout.log2m,
+        big_m=False, grouped=True, gdepth=layout.rank_depth,
+        gprows=tuple(gprows), vrspec=vrspec, interpret=interpret)
     return out, states, T_pad

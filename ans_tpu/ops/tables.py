@@ -59,11 +59,17 @@ class DecTable:
     Also carries the per-symbol inputs (nfreqs/sym_high/sym_nb) so the
     engine can derive the search-table representation (SearchTable) for
     the pivot-search Pallas kernel without re-threading every call site.
+
+    layout: the frequency-grouped slot layout (ops/grouped.GroupLayout)
+    when the frame uses it (use_grouped_layout of the prelude freqs);
+    the per-slot arrays may then be None — the grouped Pallas kernel
+    never needs them, and materialize_slots() fills them on demand for
+    the XLA / direct engines (they can be ~100MB for M = 2^22).
     """
 
-    freq: np.ndarray  # u32 (M,)
-    offset: np.ndarray  # u32 (M,) slot - base[sym]
-    sym: np.ndarray  # u32 (M,) owning symbol
+    freq: np.ndarray | None  # u32 (M,)
+    offset: np.ndarray | None  # u32 (M,) slot - base[sym]
+    sym: np.ndarray | None  # u32 (M,) owning symbol
     # fold/msb extensions (None for identity coders like ans_int):
     high: np.ndarray | None  # u32 (M,) reconstructed high part
     nb: np.ndarray | None  # u32 (M,) exception bytes to read
@@ -72,6 +78,8 @@ class DecTable:
     nfreqs: np.ndarray | None = None  # i64 (sigma,) scaled freqs
     sym_high: np.ndarray | None = None  # u32 (sigma,)
     sym_nb: np.ndarray | None = None  # u32 (sigma,)
+    layout: object | None = None  # grouped.GroupLayout or None
+    has_exc: bool = False
 
 
 @dataclass(frozen=True)
@@ -141,11 +149,17 @@ def _check_frame(M: int) -> int:
     return log2m
 
 
-def build_enc_table(nfreqs: np.ndarray) -> EncTable:
+def build_enc_table(nfreqs: np.ndarray, layout=None) -> EncTable:
+    """layout: a grouped.GroupLayout — base values then follow the
+    frequency-grouped slot order instead of the value-cumulative one
+    (freq/ub/magic are layout-independent)."""
     nf = np.asarray(nfreqs, dtype=np.uint64)
     M = int(nf.sum())
     log2m = _check_frame(M)
-    base = np.concatenate(([0], np.cumsum(nf)[:-1])).astype(np.uint32)
+    if layout is not None:
+        base = layout.base_of_symbol()
+    else:
+        base = np.concatenate(([0], np.cumsum(nf)[:-1])).astype(np.uint32)
     # 256 * (L/M) * freq; L/M = 2**(A_KM_LOG2 - log2m) is an exact integer
     k256 = np.uint64(1) << np.uint64(A_KM_LOG2 - log2m + 8)
     ub = (k256 * nf).astype(np.uint32)  # <= 2**31 * f / M <= 2**31, fits
@@ -173,20 +187,47 @@ def build_enc_table(nfreqs: np.ndarray) -> EncTable:
 
 def build_dec_table(nfreqs: np.ndarray,
                     high_of_sym: np.ndarray | None = None,
-                    nb_of_sym: np.ndarray | None = None) -> DecTable:
+                    nb_of_sym: np.ndarray | None = None,
+                    layout=None, slots: bool = True) -> DecTable:
+    """layout: grouped.GroupLayout — slots follow the frequency-grouped
+    order.  slots=False skips the M-sized per-slot arrays (the grouped
+    Pallas kernel never reads them; materialize_slots fills them when an
+    XLA/direct engine needs the table)."""
     nf = np.asarray(nfreqs, dtype=np.int64)
     M = int(nf.sum())
     log2m = _check_frame(M)
-    sym = np.repeat(np.arange(len(nf), dtype=np.uint32), nf)
-    freq = np.repeat(nf, nf).astype(np.uint32)
-    base = np.concatenate(([0], np.cumsum(nf)[:-1]))
-    offset = (np.arange(M, dtype=np.int64) - base[sym]).astype(np.uint32)
-    high = nb = sym_high = sym_nb = None
+    sym_high = sym_nb = None
     if high_of_sym is not None:
         sym_high = np.asarray(high_of_sym, dtype=np.uint32)
         sym_nb = np.asarray(nb_of_sym, dtype=np.uint32)
-        high = sym_high[sym]
-        nb = sym_nb[sym]
-    return DecTable(freq=freq, offset=offset, sym=sym, high=high, nb=nb,
-                    frame_size=M, log2m=log2m, nfreqs=nf,
-                    sym_high=sym_high, sym_nb=sym_nb)
+    dt = DecTable(freq=None, offset=None, sym=None, high=None, nb=None,
+                  frame_size=M, log2m=log2m, nfreqs=nf,
+                  sym_high=sym_high, sym_nb=sym_nb, layout=layout,
+                  has_exc=high_of_sym is not None)
+    return materialize_slots(dt) if slots else dt
+
+
+def materialize_slots(dt: DecTable) -> DecTable:
+    """Fill the M-sized per-slot arrays of a slim DecTable (no-op when
+    already present).  With a grouped layout, slot order is rank-
+    cumulative: symbol layout.perm[r] owns the r-th contiguous run."""
+    if dt.freq is not None:
+        return dt
+    import dataclasses
+    nf = dt.nfreqs
+    if dt.layout is not None:
+        order = dt.layout.perm.astype(np.int64)
+    else:
+        order = np.arange(len(nf), dtype=np.int64)
+    f_run = nf[order]
+    sym = np.repeat(order, f_run).astype(np.uint32)
+    freq = np.repeat(f_run, f_run).astype(np.uint32)
+    base_run = np.concatenate(([0], np.cumsum(f_run)[:-1]))
+    offset = (np.arange(dt.frame_size, dtype=np.int64)
+              - np.repeat(base_run, f_run)).astype(np.uint32)
+    high = nb = None
+    if dt.sym_high is not None:
+        high = dt.sym_high[sym]
+        nb = dt.sym_nb[sym]
+    return dataclasses.replace(dt, freq=freq, offset=offset, sym=sym,
+                               high=high, nb=nb)
