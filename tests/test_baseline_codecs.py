@@ -118,6 +118,33 @@ def test_shuff_rejects_corrupt_wire():
         sh._native = orig
 
 
+def test_arith_native_matches_python_wire():
+    """The compiled range-coder loops (ans_native.cpp arith_encode/
+    arith_decode) must emit and consume byte-identical streams to the
+    Python fallback, including the pow2-total shift and the 16-bit
+    jump-table search."""
+    import ans_tpu.models.arith as am
+    rng = np.random.default_rng(17)
+    for vals in (
+        (rng.zipf(1.3, 30000) - 1).clip(0, 1 << 24).astype(np.uint32),
+        rng.integers(0, 1 << 14, 30000, dtype=np.uint32),
+        np.zeros(100, np.uint32),  # single-symbol model
+    ):
+        c = am.Arith()
+        native_blob = c.encode(vals)
+        out_native = c.decode(native_blob, len(vals))
+        orig = am._native
+        am._native = lambda: None
+        try:
+            py_blob = c.encode(vals)
+            assert py_blob == native_blob
+            out_py = c.decode(native_blob, len(vals))
+        finally:
+            am._native = orig
+        np.testing.assert_array_equal(out_native, vals)
+        np.testing.assert_array_equal(out_py, vals)
+
+
 def test_shuff_pure_python_fallback_matches_native():
     """The numpy packer/decoder must work (and emit identical bytes)
     when libansnative.so is absent — regression for a uint64/int64
