@@ -196,23 +196,30 @@ class BlockCodec:
 
     # -- Pallas per-device bodies (production kernels inside shard_map) ----
 
-    def _scan_program(self, *, B, S, T, TCe, NT, G, Msr, log2m, big_m):
+    def _scan_program(self, *, B, S, T, TCe, NT, G, Msr, log2m, big_m,
+                      n_extra=0, grouped=False, gdepth=0, gprows=(),
+                      vrspec=()):
         """map outputs -> packed scan words + totals, all device-resident.
         Returns per-device (packed (T,S) i32, nb (T,S) i32, excw (T,S)
-        i32, states (S,) u32-bits, round_base (6T,), total ())."""
+        i32, states (S,) u32-bits, round_base (6T,), total ()).
+        grouped/gdepth/gprows/vrspec: the rank-space prefetch of the
+        frequency-grouped layout (extra = pivot levels [+ rank planes],
+        replicated)."""
         from ..ops import pallas_encode
         axis, interp = self.axis, self.interpret
         pad, T_pad, R = T * S - B, NT * TCe, S // 128
 
-        def body(mapped, k, b, n_sec, t1, t2, tb):
+        def body(mapped, k, b, n_sec, t1, t2, tb, *extra):
             n = n_sec[0]
             m_ts = jnp.pad(mapped[0].astype(jnp.int32),
                            (0, pad)).reshape(T, S)
             wa = jnp.pad(m_ts, ((0, T_pad - T), (0, 0))).reshape(
                 NT, TCe, R, 128)
             out, states = pallas_encode._call(
-                wa, n, t1, t2, tb, S=S, R=R, TC=TCe, NT=NT, G=G,
-                Msr=Msr, log2m=log2m, big_m=big_m, interpret=interp)
+                wa, n, t1, t2, tb, *extra, S=S, R=R, TC=TCe, NT=NT, G=G,
+                Msr=Msr, log2m=log2m, big_m=big_m, grouped=grouped,
+                gdepth=gdepth, gprows=gprows, vrspec=vrspec,
+                interpret=interp)
             packed = out[:T]
             nb_ts = jnp.pad(k[0].astype(jnp.int32), (0, pad)).reshape(T, S)
             bb = b[0].astype(jnp.int32)
@@ -223,10 +230,12 @@ class BlockCodec:
             return (packed[None], nb_ts[None], excw[None], states[None],
                     round_base[None], total[None])
 
-        key = ("pscan", B, S, T, TCe, NT, G, Msr, log2m, big_m, interp)
+        key = ("pscan", B, S, T, TCe, NT, G, Msr, log2m, big_m,
+               grouped, gdepth, gprows, vrspec, interp)
         return self._cached(key, lambda: jax.jit(_shard_map.shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P())
+            + (P(),) * n_extra,
             out_specs=(P(axis),) * 6)))
 
     def _place_program(self, *, S, T, t_sec, NSEC, SWr, WIN, G, NR, NE):
@@ -327,7 +336,10 @@ class BlockCodec:
         nfreqs = adjust_freqs(freqs, max_sym, self.kind != "int",
                               self.h_approx)
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
-        et = tables.build_enc_table(nfreqs)
+        from ..ops import grouped as grouped_mod
+        layout = (grouped_mod.build_group_layout(nfreqs)
+                  if grouped_mod.use_grouped_layout(nfreqs) else None)
+        et = tables.build_enc_table(nfreqs, layout)
 
         S = self.lanes or config.default_lane_count(B)
         T = lane_codec.lane_steps(B, S)
@@ -338,9 +350,22 @@ class BlockCodec:
         out += header_extra
         out += struct.pack("<I", len(prelude)) + prelude
 
-        if self.engine == "pallas" and self._encode_pallas_ok(et, S):
+        if (self.engine == "pallas"
+                and self._encode_pallas_ok(et, S, layout)):
+            if layout is not None and self.kind == "int":
+                # raw alphabet: one host rank remap replaces the scan's
+                # sigma-scaling table lookups (the values are host-side
+                # here; device-mapped kinds use in-kernel rank planes)
+                mapped_g = jnp.asarray(layout.rank_of[vals])
+                vr = None
+            elif layout is not None:
+                mapped_g = mapped
+                vr = grouped_mod.pack_planes(layout.rank_of)
+            else:
+                mapped_g, vr = mapped, None
             secs_np, states, t_sec, sec_lens = self._encode_pallas(
-                mapped, k, b, n_sec, et, S=S, T=T)
+                mapped_g, k, b, n_sec, et, S=S, T=T, layout=layout,
+                vr_planes=vr)
             from ..ops import pallas_place
             for d in range(D):
                 stream = pallas_place.sections_to_stream(
@@ -370,44 +395,80 @@ class BlockCodec:
             out += struct.pack("<I", len(sec)) + sec
         return bytes(out)
 
-    def _encode_pallas_ok(self, et, S: int) -> bool:
+    def _encode_pallas_ok(self, et, S: int, layout=None) -> bool:
         M = et.frame_size
         # S/128 power-of-two: placement kernel row->(step,row) math
         return (S >= 128 and S % 128 == 0
                 and (S // 128) & (S // 128 - 1) == 0
                 and 2 <= M <= (1 << 22)
-                and len(et.freq) <= (1 << 13)
+                # grouped layout: rank-space prefetch, no sigma cap
+                and (layout is not None or len(et.freq) <= (1 << 13))
                 and int(et.freq.max()) < M)
 
-    def _encode_pallas(self, mapped, k, b, n_sec, et, *, S, T):
+    def _encode_pallas(self, mapped, k, b, n_sec, et, *, S, T,
+                       layout=None, vr_planes=None):
         """Scan + totals + placement through the production kernels, one
         SPMD program per stage; returns (sections (D,NSEC,SWr,128) i32
-        host, states (D,S) u32 host, t_sec, per-device sec_len)."""
+        host, states (D,S) u32 host, t_sec, per-device sec_len).
+
+        layout: grouped slot layout — mapped then carries RANKS (or raw
+        mapped symbols when vr_planes gives the in-kernel value->rank
+        planes); the scan tables shrink to the NG-sized group arrays."""
         from ..ops import pallas_encode
         D = self.mesh.devices.size
         R = S // 128
-        sigma = len(et.freq)
-        Msr = -(-sigma // 128)
         TCe = 128
         NT = -(-T // TCe)
-        G = pallas_encode.choose_g(sigma, S, et.log2m, TCe)
-        big_m = et.log2m > 16
-        if big_m:
-            t1 = et.freq.astype(np.uint32)
+        big_m = et.log2m > 16 and layout is None
+        extra = ()
+        if layout is not None:
+            NGr = max(1, -(-layout.num_groups // 128))
+            Msr = NGr
+            vr_planes = vr_planes or ()
+            vrspec = tuple((p.bits, p.rows, p.shift) for p in vr_planes)
+            eff_rows = (3 * NGr + sum(min(r, 16) for _, r, _ in vrspec)
+                        + 16)
+            G = pallas_encode.choose_g(eff_rows * 128, S, et.log2m, TCe)
+            gprows = []
+            for p in layout.rank_pivots:
+                r = max(1, -(-len(p) // 128))
+                gprows.append(r)
+                extra += (jnp.asarray(pallas_encode._pad_rows(
+                    np.ascontiguousarray(p).view(np.uint32), r)),)
+            extra += tuple(
+                jnp.asarray(pallas_encode._pad_rows(
+                    p.words.astype(np.uint32), p.rows))
+                for p in vr_planes)
+            t1 = jnp.asarray(pallas_encode._pad_rows(
+                layout.g_f.astype(np.uint32), NGr))
+            t2 = jnp.asarray(pallas_encode._pad_rows(
+                layout.g_magic.astype(np.uint32), NGr))
             tb = jnp.asarray(pallas_encode._pad_rows(
-                et.base.astype(np.uint32), Msr))
+                layout.g_slot0.astype(np.uint32), NGr))
+            gkw = dict(grouped=True, gdepth=layout.rank_depth,
+                       gprows=tuple(gprows), vrspec=vrspec)
         else:
-            t1 = ((et.freq.astype(np.uint32) << 16)
-                  | et.base.astype(np.uint32))
-            tb = jnp.zeros((1, 128), jnp.int32)
+            sigma = len(et.freq)
+            Msr = -(-sigma // 128)
+            G = pallas_encode.choose_g(sigma, S, et.log2m, TCe)
+            if big_m:
+                t1 = jnp.asarray(pallas_encode._pad_rows(
+                    et.freq.astype(np.uint32), Msr))
+                tb = jnp.asarray(pallas_encode._pad_rows(
+                    et.base.astype(np.uint32), Msr))
+            else:
+                t1 = jnp.asarray(pallas_encode._pad_rows(
+                    (et.freq.astype(np.uint32) << 16)
+                    | et.base.astype(np.uint32), Msr))
+                tb = jnp.zeros((1, 128), jnp.int32)
+            t2 = jnp.asarray(pallas_encode._pad_rows(
+                et.magic.astype(np.uint32), Msr))
+            gkw = dict(grouped=False, gdepth=0, gprows=(), vrspec=())
         scan = self._scan_program(B=mapped.shape[1], S=S, T=T, TCe=TCe,
                                   NT=NT, G=G, Msr=Msr, log2m=et.log2m,
-                                  big_m=big_m)
+                                  big_m=big_m, n_extra=len(extra), **gkw)
         packed, nb_ts, excw, states, round_base, totals = scan(
-            mapped, k, b, jnp.asarray(n_sec),
-            jnp.asarray(pallas_encode._pad_rows(t1, Msr)),
-            jnp.asarray(pallas_encode._pad_rows(
-                et.magic.astype(np.uint32), Msr)), tb)
+            mapped, k, b, jnp.asarray(n_sec), t1, t2, tb, *extra)
         round_base = np.asarray(round_base)
         totals = np.asarray(totals)
 
@@ -467,10 +528,15 @@ class BlockCodec:
         nfreqs, _ = load_prelude(blob[pos:pos + plen + 8])
         pos += plen
 
+        from ..ops import grouped as grouped_mod
+        layout = (grouped_mod.build_group_layout(nfreqs)
+                  if grouped_mod.use_grouped_layout(nfreqs) else None)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         if kind == "msb":
             dt = tables.build_dec_table(nfreqs, map_np.msb_unmap_high(syms),
-                                        map_np.msb_exception_bytes(syms))
+                                        map_np.msb_exception_bytes(syms),
+                                        layout=layout,
+                                        slots=layout is None)
         elif kind in ("fold", "rfold"):
             high, nb = map_np.fold_unmap_high(syms, fid)
             if kind == "rfold":
@@ -482,10 +548,12 @@ class BlockCodec:
                 else:
                     high = np.where(syms < thres, syms,
                                     high).astype(np.uint32)
-            dt = tables.build_dec_table(nfreqs, high, nb)
+            dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
+                                        slots=layout is None)
         else:
-            dt = tables.build_dec_table(nfreqs)
-        has_exc = dt.high is not None
+            dt = tables.build_dec_table(nfreqs, layout=layout,
+                                        slots=layout is None)
+        has_exc = dt.has_exc
 
         B = -(-n // D)
         n_sec = np.clip(n - B * np.arange(D), 0, B).astype(np.int32)
@@ -511,6 +579,7 @@ class BlockCodec:
         for d, (_, st, pay, _t_sec, _sec_len) in enumerate(secs):
             stream[d, :len(pay)] = pay
             states[d] = st
+        dt = tables.materialize_slots(dt)  # XLA engine reads slot arrays
         dummy = np.zeros(1, np.uint32)
         out = self._decode_program(S, T, dt.log2m, has_exc)(
             jnp.asarray(stream),
@@ -540,15 +609,26 @@ class BlockCodec:
         which = _engine.choose_decode_engine(dt, S)
         if self.interpret and which == "xla":
             # off-TPU choose() always says xla; re-evaluate eligibility
-            if _engine._search_cost(dt) is not None:
+            if dt.layout is not None:
+                which = "grouped"
+            elif _engine._search_cost(dt) is not None:
                 which = "search"
             elif (int(dt.freq.max()) < (1 << 16)
                   and dt.frame_size <= _engine.PALLAS_MAX_FRAME):
                 which = "direct"
         if which == "xla":
             return None
+        if which == "direct":
+            dt = tables.materialize_slots(dt)
         NR = tables.max_renorm_rounds(dt.log2m)
-        NE = int(dt.nb.max()) if has_exc else 0
+        gt = None
+        if which == "grouped":
+            from ..ops import grouped as grouped_mod
+            gt = grouped_mod.build_group_table(dt.layout, dt.sym_high,
+                                               dt.sym_nb)
+            NE = gt.max_nb if gt.has_exc else 0
+        else:
+            NE = int(dt.nb.max()) if has_exc else 0
         WR = -(-(512 + (NR + NE) * S) // 512) + 1
         sw = max(int(np.asarray(s[4]).max()) for s in secs) + WR * 512
         sw = -(-sw // (128 * 1024)) * (128 * 1024)
@@ -564,7 +644,12 @@ class BlockCodec:
             # upload ONCE as the stacked (D, ...) arrays below (staging
             # device-side would round-trip every stream through the
             # slow relay: H2D here, D2H at np.stack, H2D again)
-            if which == "search":
+            if which == "grouped":
+                args, kw_d = pallas_decode.stage_grouped(
+                    np.asarray(pay), st, gt, int(n_sec[d]), S=S, T=T,
+                    t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
+                    to_device=False, interpret=self.interpret)
+            elif which == "search":
                 args, kw_d = pallas_decode.stage_search(
                     np.asarray(pay), st, st_tab, int(n_sec[d]), S=S, T=T,
                     t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
@@ -579,8 +664,9 @@ class BlockCodec:
             states.append(args[1])
             if kw is None:
                 kw, tabs = kw_d, args[3:]
-        fn = (pallas_decode._call_search if which == "search"
-              else pallas_decode._call)
+        fn = {"grouped": pallas_decode._call_grouped,
+              "search": pallas_decode._call_search}.get(
+                  which, pallas_decode._call)
         prog = self._pallas_decode_program(fn, kw, len(tabs))
         out = prog(jnp.asarray(np.stack(streams)),
                    jnp.asarray(np.stack(states)),

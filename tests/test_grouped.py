@@ -304,6 +304,30 @@ def test_materialized_slots_match_classic_shape(big_sparse):
     np.testing.assert_array_equal(first, np.asarray(nfreqs))
 
 
+def test_block_runtime_grouped(big_sparse):
+    """BlockCodec routes large alphabets through the grouped kernels on
+    every mesh device (Pallas interpret mode, virtual CPU mesh), and
+    the XLA block engine decodes the same container (slot
+    materialization under the grouped layout)."""
+    from ans_tpu.parallel import BlockCodec, make_mesh
+    mesh = make_mesh(4)
+    fast = BlockCodec("ANS", mesh, lanes=128, engine="pallas",
+                      interpret=True)
+    blob = fast.encode(big_sparse)
+    np.testing.assert_array_equal(fast.decode(blob, len(big_sparse)),
+                                  big_sparse)
+    slow = BlockCodec("ANS", mesh, lanes=128, engine="xla")
+    blob2 = slow.encode(big_sparse)
+    np.testing.assert_array_equal(slow.decode(blob2, len(big_sparse)),
+                                  big_sparse)
+    # cross: the two engines share the grouped slot layout (format),
+    # so each decodes the other's container
+    np.testing.assert_array_equal(slow.decode(blob, len(big_sparse)),
+                                  big_sparse)
+    np.testing.assert_array_equal(fast.decode(blob2, len(big_sparse)),
+                                  big_sparse)
+
+
 def test_grouped_env_force(monkeypatch, big_sparse):
     """ANS_TPU_DECODE_ENGINE=grouped is honored only under a grouped
     layout; 'search' on a grouped table falls back."""
