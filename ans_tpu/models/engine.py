@@ -237,18 +237,35 @@ class PreparedEncoder:
     """
 
     def __init__(self, mapped_ts, nb_ts, excb_ts, n: int,
-                 et: tables.EncTable, *, S: int, T: int, G: int = 16):
+                 et: tables.EncTable, *, S: int, T: int, G: int = 16,
+                 layout=None, vr_planes=None):
+        """layout: the frequency-grouped slot layout — mapped_ts must
+        then carry RANKS (host-remapped), or raw mapped symbols with
+        vr_planes = grouped.pack_planes(layout.rank_of) for the
+        in-kernel remap (device-mapped alphabets)."""
         from ..ops import pallas_encode, pallas_place
         from . import framing
-        if not encode_pallas_ok(et, S):
+        if layout is not None:
+            if not encode_grouped_ok(et, S, layout):
+                raise ValueError("grouped PreparedEncoder needs the "
+                                 "Pallas envelope (TPU backend, "
+                                 "M <= 2^22, lane multiple of 128)")
+            self._do_scan = lambda: pallas_encode.encode_scan_grouped(
+                self.mapped_ts, self._n32, layout, S=S, T=T, G=G,
+                vr_planes=vr_planes)
+        elif encode_pallas_ok(et, S):
+            self._do_scan = lambda: pallas_encode.encode_scan(
+                self.mapped_ts, self.nb_ts, self._n32, et, S=S, T=T,
+                G=G)
+        else:
             raise ValueError("PreparedEncoder needs the Pallas encode "
                              "path (TPU backend, M <= 2^22, lane "
                              "multiple of 128)")
         self._pe, self._pp = pallas_encode, pallas_place
         self.n, self.S, self.T, self.G, self.et = n, S, T, G, et
         self.mapped_ts, self.nb_ts, self.excb_ts = mapped_ts, nb_ts, excb_ts
-        packed, _, _ = pallas_encode.encode_scan(
-            mapped_ts, nb_ts, jnp.int32(n), et, S=S, T=T, G=G)
+        self._n32 = jnp.int32(n)
+        packed, _, _ = self._do_scan()
         round_base, total = lane_codec.encode_totals(
             packed[:T], nb_ts, jnp.int32(n), S=S, T=T)
         self.total = int(total)
@@ -256,13 +273,10 @@ class PreparedEncoder:
             np.asarray(round_base)[::6], self.total, T)
         self.NR = tables.max_renorm_rounds(et.log2m)
         self.NE = int(jnp.max(nb_ts))
-        self._n32 = jnp.int32(n)
 
     def __call__(self):
         """Returns (stream sections (NSEC,SWr,128) i32, states) device."""
-        packed, states, _ = self._pe.encode_scan(
-            self.mapped_ts, self.nb_ts, self._n32, self.et,
-            S=self.S, T=self.T, G=self.G)
+        packed, states, _ = self._do_scan()
         secs = self._pp.place(packed[: self.T], self.nb_ts, self.excb_ts,
                               self._n32, S=self.S, T=self.T,
                               t_sec=self.t_sec, sec_len=self.sec_len,

@@ -1,0 +1,204 @@
+"""Large-alphabet benchmark: the grouped engine vs the C++ reference.
+
+Measures ANS (ans_int) and ANSmsb on the paper's large-alphabet dataset
+shapes (zipf20 sigma~1M, uniform16 sigma=65536, uniform20 sigma=2^20,
+words49k = zipf over a 49152-word vocabulary), device-resident
+(PreparedDecoder / PreparedEncoder), against the measured C++ rows in
+BASELINE_MEASURED.json "large_alphabet" (tools/ref_harness.cpp, same
+n and seed).  Appends a section to BENCH_DETAIL.md with --write.
+
+    python tools/bench_grouped.py [-n 25] [--lanes 4096] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def datasets(n):
+    from ans_tpu.utils import zipf as zm
+    out = {}
+    rng = np.random.default_rng(0)
+    out["zipf20"] = zm.zipf(rng, n, 1 << 20)
+    rng = np.random.default_rng(0)
+    out["uniform16"] = rng.integers(0, 1 << 16, size=n, dtype=np.uint32)
+    rng = np.random.default_rng(0)
+    out["uniform20"] = rng.integers(0, 1 << 20, size=n, dtype=np.uint32)
+    rng = np.random.default_rng(0)
+    out["words49k"] = zm.zipf(rng, n, 49152)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=25, help="log2 n")
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--lanes", type=int, default=4096)
+    ap.add_argument("--write", action="store_true",
+                    help="append the section to BENCH_DETAIL.md")
+    ap.add_argument("--methods", default="ANS,ANSmsb")
+    ap.add_argument("--datasets", default=None,
+                    help="comma list (default: all four)")
+    args = ap.parse_args()
+
+    from ans_tpu import models, runtime
+    runtime.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ans_tpu.models import framing
+    from ans_tpu.models.ans import _maybe_layout
+    from ans_tpu.models.engine import PreparedDecoder, PreparedEncoder
+    from ans_tpu.ops import grouped, lane_codec, tables
+    from ans_tpu.ops import mappings_jax as mj
+    from ans_tpu.constants import MSB_MAX_SIGMA
+    from ans_tpu.reference_model import mappings as map_np
+    from ans_tpu.reference_model.model import adjust_freqs, load_prelude
+
+    n = 1 << args.n
+    data = datasets(n)
+    if args.datasets:
+        keep = args.datasets.split(",")
+        data = {k: v for k, v in data.items() if k in keep}
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = json.load(open(os.path.join(root, "BASELINE_MEASURED.json")))
+    base_rows = base.get("large_alphabet", {}).get("datasets", {})
+
+    rows = []
+    for dname, values in data.items():
+        for method in args.methods.split(","):
+            codec = models.get(method, "lane")
+            codec.lanes = args.lanes
+            t0 = time.time()
+            blob = codec.encode(values)
+            enc1 = time.time() - t0
+            out = codec.decode(blob, n)
+            ok = bool((out == values).all())
+            bpi = 8 * len(blob) / n
+
+            # --- device-resident decode -------------------------------
+            nfreqs, plen = load_prelude(blob)
+            layout = _maybe_layout(nfreqs)
+            syms = np.arange(len(nfreqs), dtype=np.uint32)
+            if method == "ANSmsb":
+                dt = tables.build_dec_table(
+                    nfreqs, map_np.msb_unmap_high(syms),
+                    map_np.msb_exception_bytes(syms), layout=layout,
+                    slots=layout is None)
+            else:
+                dt = tables.build_dec_table(nfreqs, layout=layout,
+                                            slots=layout is None)
+            S, states, payload, t_sec, sec_len = framing.parse(blob, plen)
+            prep = PreparedDecoder(payload, states, dt, n, S=S,
+                                   T=lane_codec.lane_steps(n, S),
+                                   has_exc=dt.has_exc, t_sec=t_sec,
+                                   sec_len=sec_len)
+            prep().block_until_ready()
+            best = min(_t(lambda: prep().block_until_ready())
+                       for _ in range(args.runs))
+            dec_ips = n / best
+
+            # --- device-resident encode -------------------------------
+            if method == "ANSmsb":
+                mapped, k, b, hist = mj.msb_map_hist(
+                    jnp.asarray(values), length=MSB_MAX_SIGMA)
+                freqs = np.asarray(hist).astype(np.uint64)
+                u16 = True
+            else:
+                mapped, k, b = jnp.asarray(values), None, None
+                freqs = np.bincount(values).astype(np.uint64)
+                u16 = False
+            max_sym = int(np.flatnonzero(freqs)[-1])
+            nfreqs_e = adjust_freqs(freqs, max_sym, u16, 1, None)
+            lay_e = _maybe_layout(nfreqs_e)
+            et = tables.build_enc_table(nfreqs_e, lay_e)
+            S = args.lanes
+            T = lane_codec.lane_steps(n, S)
+            pad = T * S - n
+            vr = None
+            if lay_e is not None and method == "ANS":
+                mapped = jnp.asarray(lay_e.rank_of[values])
+            elif lay_e is not None:
+                vr = grouped.pack_planes(lay_e.rank_of)
+            mapped_ts = jnp.pad(mapped, (0, pad)).reshape(T, S)
+            if k is None:
+                k_ts = jnp.zeros((T, S), jnp.uint32)
+                b_ts = jnp.zeros((T, S, 3), jnp.uint8)
+            else:
+                k_ts = jnp.pad(k, (0, pad)).reshape(T, S)
+                b_ts = jnp.pad(b, ((0, pad), (0, 0))).reshape(T, S, 3)
+            enc_ips = None
+            try:
+                pe = PreparedEncoder(mapped_ts, k_ts, b_ts, n, et,
+                                     S=S, T=T, layout=lay_e,
+                                     vr_planes=vr)
+                jax.block_until_ready(pe())
+                beste = min(_t(lambda: jax.block_until_ready(pe()))
+                            for _ in range(args.runs))
+                enc_ips = n / beste
+            except ValueError as e:
+                print(f"  encode prepared skipped: {e}", flush=True)
+
+            bm = base_rows.get(dname, {}).get(
+                "ANSmsb" if method == "ANSmsb" else "ANS", {})
+            row = dict(
+                method=method, dataset=dname, ok=ok,
+                sigma=int(np.count_nonzero(nfreqs)),
+                engine=prep.engine, bpi=round(bpi, 4),
+                cpp_bpi=bm.get("bpi"),
+                dev_decode_mips=round(dec_ips / 1e6, 1),
+                cpp_decode_mips=round(bm["decode_ips"] / 1e6, 1)
+                if bm else None,
+                dec_ratio=round(dec_ips / bm["decode_ips"], 2)
+                if bm else None,
+                dev_encode_mips=round(enc_ips / 1e6, 1)
+                if enc_ips else None,
+                cpp_encode_mips=round(bm["encode_ips"] / 1e6, 1)
+                if bm else None,
+                enc_ratio=round(enc_ips / bm["encode_ips"], 2)
+                if (bm and enc_ips) else None,
+                first_encode_s=round(enc1, 1))
+            print(row, flush=True)
+            rows.append(row)
+
+    if args.write:
+        with open(os.path.join(root, "BENCH_DETAIL.md"), "a") as f:
+            f.write("\n## Large alphabets (frequency-grouped engine)\n\n")
+            f.write(f"n = 2^{args.n}, S = {args.lanes}, seed-0 datasets "
+                    f"matching the C++ rows in BASELINE_MEASURED.json "
+                    f"large_alphabet (tools/ref_harness.cpp); min of "
+                    f"{args.runs}.  Generated by tools/bench_grouped."
+                    f"py.\n\n")
+            f.write("| method | dataset | sigma | engine | bpi | C++ bpi "
+                    "| dec M/s | C++ dec | ratio | enc M/s | C++ enc | "
+                    "ratio | ok |\n")
+            f.write("|---|---|---|---|---|---|---|---|---|---|---|---|"
+                    "---|\n")
+            for r in rows:
+                f.write(f"| {r['method']} | {r['dataset']} | "
+                        f"{r['sigma']} | {r['engine']} | {r['bpi']} | "
+                        f"{r['cpp_bpi']} | {r['dev_decode_mips']} | "
+                        f"{r['cpp_decode_mips']} | **{r['dec_ratio']}x**"
+                        f" | {r['dev_encode_mips']} | "
+                        f"{r['cpp_encode_mips']} | **{r['enc_ratio']}x**"
+                        f" | {r['ok']} |\n")
+        print("appended to BENCH_DETAIL.md")
+
+
+if __name__ == "__main__":
+    main()
