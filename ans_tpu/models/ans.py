@@ -64,13 +64,15 @@ def _finish_pallas_encode(packed, states, nb_ts, excb_ts, n, et, *,
 
 def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
                    lanes: int | None, layout=None,
-                   ranks_host=None) -> bytes:
+                   raw_host=None) -> bytes:
     """layout: grouped.GroupLayout when the prelude freqs select the
     frequency-grouped slot order (ops/grouped.use_grouped_layout —
-    decoders re-derive it, so it is format, not a knob).  ranks_host:
-    the values already remapped to ranks on the host (AnsInt-style raw
-    alphabets); device-mapped coders pass layout only and the scan
-    kernel applies packed value->rank planes itself."""
+    decoders re-derive it, so it is format, not a knob).  raw_host:
+    the untouched host values (AnsInt-style raw alphabets) — the O(n)
+    value->rank remap runs here, inside the grouped-eligibility branch,
+    so an XLA fallback never pays for it; device-mapped coders pass
+    layout only and the scan kernel applies packed value->rank planes
+    itself."""
     S = lanes or config.default_lane_count(n)
     T = lane_codec.lane_steps(n, S)
     et = tables.build_enc_table(nfreqs, layout)
@@ -84,8 +86,8 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
     from . import engine as _engine
     if layout is not None and _engine.encode_grouped_ok(et, S, layout):
         from ..ops import grouped, pallas_encode
-        if ranks_host is not None:
-            syms_ts = jnp.pad(jnp.asarray(ranks_host),
+        if raw_host is not None:
+            syms_ts = jnp.pad(jnp.asarray(layout.rank_of[raw_host]),
                               (0, pad)).reshape(T, S)
             vr = None
         else:
@@ -165,10 +167,11 @@ class AnsInt:
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         layout = _maybe_layout(nfreqs)
-        ranks = layout.rank_of[values] if layout is not None else None
-        stream = _encode_stream(jnp.asarray(values), None, None,
+        # host array both ways: the grouped branch uploads ranks, the
+        # others pad-and-upload values — never both (the relay is slow)
+        stream = _encode_stream(values, None, None,
                                 len(values), nfreqs, self.lanes,
-                                layout=layout, ranks_host=ranks)
+                                layout=layout, raw_host=values)
         record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)

@@ -95,6 +95,10 @@ class Arith:
         syms = np.flatnonzero(counts)
         sigma = len(syms)
         total_log2 = max(16, sigma.bit_length() + 1)
+        if total_log2 > 31:
+            raise ValueError(
+                f"arith baseline caps the model total at 2^31 "
+                f"(sigma={sigma} would need 2^{total_log2})")
         freq = _scale_counts(counts[syms], total_log2)
         cum = np.concatenate(([0], np.cumsum(freq)))
         total = int(cum[-1])
@@ -156,6 +160,13 @@ class Arith:
         sigma, pos = vbyte.decode_u32(buf, pos)
         total_log2 = buf[pos]
         pos += 1
+        # forged total_log2 outside the encoder's range would shift u64
+        # by >= 64 (UB) and blow up the second interp universe — reject
+        # before using it
+        if not (16 <= total_log2 <= 31):
+            raise ValueError(
+                f"corrupt arith stream: total_log2 {total_log2} outside "
+                f"the encoder's [16, 31] range")
         plen, pos = vbyte.decode_u32(buf, pos)
         syms, _ = interp.decode(buf[pos:pos + plen + 8], sigma, max_sym + 1)
         pos += plen
@@ -167,6 +178,13 @@ class Arith:
         inc = np.asarray(inc, dtype=np.int64)
         freq = np.diff(np.concatenate(([-1], inc))) - 1
         freq[0] = int(inc[0])
+        # corrupt-wire guard BEFORE either coder loop: a zero/negative
+        # frequency (non-increasing interp prelude) makes rng collapse
+        # to 0 and the next (code-low)/r divide by zero — SIGFPE in the
+        # native loop, ZeroDivisionError in Python
+        if len(freq) == 0 or freq.min() < 1 or int(freq.sum()) != total:
+            raise ValueError("corrupt arith stream: invalid frequency "
+                             "table in prelude")
         cum = np.concatenate(([0], np.cumsum(freq)))
         syms = np.asarray(syms, dtype=np.uint32)
         lib = _native()

@@ -114,11 +114,15 @@ def _grouped_cost(dt: tables.DecTable):
     for k in range(lay.slot_depth):
         rows = max(1, -(-(1 << (lay.slot_depth - 1 - k)) // 128))
         cost += 3 * rows + 4
-    gt = _g.build_group_table(lay, dt.sym_high, dt.sym_nb)
-    planes = gt.high_planes if gt.has_exc else gt.val_planes
-    cost += sum(3 * p.rows for p in planes)
-    if gt.nb_plane is not None:
-        cost += 3 * gt.nb_plane.rows
+    # plane rows computed arithmetically — building the sigma-sized
+    # packed planes here would duplicate PreparedDecoder's work on
+    # every decode call
+    if dt.sym_high is not None:
+        cost += 3 * _g.plane_rows(int(dt.sym_high.max()), lay.sigma)
+        cost += 3 * max(1, -(-lay.sigma // 16 // 128))  # nb plane
+    else:
+        cost += 3 * _g.plane_rows(int(lay.perm.max(initial=0)),
+                                  lay.sigma)
     return cost
 
 

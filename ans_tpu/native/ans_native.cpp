@@ -469,6 +469,7 @@ int64_t arith_decode(const uint8_t* buf, int64_t nbytes,
         code = (code << 8) | (p < nbytes ? buf[p++] : (p++, 0));
     for (int64_t i = 0; i < n; i++) {
         uint64_t r = rng >> tl2;
+        if (!r) return -1;  // collapsed range = corrupt stream/model
         uint64_t target = (code - low) / r;
         if (target > total - 1) target = total - 1;
         uint64_t b = target >> jshift;

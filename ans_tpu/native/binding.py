@@ -213,8 +213,10 @@ class NativeLib:
                  << np.uint64(total_log2 - 16))
         jump = (np.searchsorted(cum, bvals, side="right") - 1).clip(
             0, len(cum) - 2).astype(np.uint32)
-        self._c.arith_decode(arr, len(arr), cum, len(cum) - 1,
-                             total_log2, jump, n, out)
+        rc = self._c.arith_decode(arr, len(arr), cum, len(cum) - 1,
+                                  total_log2, jump, n, out)
+        if rc < 0:
+            raise ValueError("corrupt arith stream (range collapsed)")
         return out
 
     # ---- tANS ------------------------------------------------------------

@@ -198,6 +198,19 @@ def _min_bits(maxval: int) -> int:
     return 16
 
 
+def plane_rows(vals_max: int, count: int) -> int:
+    """Total shuffle-row count of pack_planes(vals) for a table of
+    `count` entries with maximum value `vals_max`, WITHOUT building the
+    packed planes (the engine cost model runs per decode call)."""
+    def rows(bits):
+        return max(1, -(-count // (32 // bits) // 128))
+    if vals_max == 0:
+        return 0
+    if vals_max < (1 << 16):
+        return rows(_min_bits(vals_max))
+    return rows(16) + rows(_min_bits(vals_max >> 16))
+
+
 def pack_planes(vals: np.ndarray) -> tuple:
     """Split a u32 table into packed planes (low 16 bits + a minimal
     high plane when needed).  An all-zero table packs to ()."""

@@ -494,23 +494,13 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
     NR = max_renorm_rounds(st.log2m)
     NE = int(st.nb.max()) if has_exc else 0
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
-    sec_len = np.asarray(sec_len, dtype=np.int64)
-    nsec = len(sec_len)
     R = S // 128
     # output block is (TC, R, 128) i32, double-buffered: cap its VMEM
     while TC * R * 512 * 2 > (6 << 20) and TC > 8:
         TC //= 2
     while t_sec % TC:
         TC //= 2
-    if sw_bytes is None:
-        sw_bytes = int(sec_len.max()) + WR * 512
-        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)
-    mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
-    off = 0
-    for s in range(nsec):
-        mat[s, : sec_len[s]] = payload[off:off + sec_len[s]]
-        off += int(sec_len[s])
-    stream3d = mat.view("<i4").reshape(nsec, -1, 128)
+    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
 
     def pack16(vals):
         v = np.asarray(vals, dtype=np.uint32)
@@ -541,7 +531,8 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
             jnp.asarray(_pad_rows(w3.view(np.int32),
                                   Sr if (has_exc and not packed23)
                                   else 1))) + tuple(pivs)
-    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=nsec, Sr=Sr, WR=WR,
+    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=stream3d.shape[0],
+              Sr=Sr, WR=WR,
               SWr=stream3d.shape[1], log2m=st.log2m, M=st.frame_size,
               depth=st.depth, has_exc=has_exc, val_table=val_table,
               packed23=packed23, NR=NR, NE=NE, prows=prows, ppack=ppack,
@@ -593,8 +584,6 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     NE = int(dt.nb.max()) if has_exc else 0
     # window: one slice per step covering all rounds (<= (NR+NE)S bytes)
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
-    sec_len = np.asarray(sec_len, dtype=np.int64)
-    nsec = len(sec_len)
     # TC must divide t_sec exactly (grid step t = sec*T_SEC + tc*TC + i
     # must match the encoder's section cuts)
     R = S // 128
@@ -603,16 +592,7 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     while t_sec % TC:
         TC //= 2
     t_sec_pad = t_sec
-    if sw_bytes is None:
-        sw_bytes = int(sec_len.max()) + WR * 512
-        sw_bytes = -(-sw_bytes // (128 * 1024)) * (128 * 1024)  # bucketed
-    mat = np.zeros((nsec, sw_bytes), dtype=np.uint8)
-    off = 0
-    for s in range(nsec):
-        mat[s, : sec_len[s]] = payload[off:off + sec_len[s]]
-        off += int(sec_len[s])
-    stream3d = mat.view("<i4").reshape(nsec, -1, 128)
-    R = S // 128
+    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
     dev = jnp.asarray if to_device else (lambda x: x)
     args = (dev(stream3d),
             dev(states.view(np.int32).reshape(R, 128)),
@@ -622,7 +602,8 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
             jnp.asarray(_pad_rows(w3.view(np.int32),
                                   Mr if (has_exc and not packed23)
                                   else 1)))
-    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=nsec, Mr=Mr, WR=WR,
+    kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec_pad, NSEC=stream3d.shape[0],
+              Mr=Mr, WR=WR,
               SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
               packed23=packed23, NR=NR, NE=NE, split_win=split_win,
               interpret=interpret)
@@ -660,11 +641,38 @@ def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
 # table size; here the per-slot table is gone entirely.
 
 
+def _lookup_acc(rows, idx, Mr, B, chunk=16):
+    """_lookup with bounded live memory: terms OR-tree-combined in
+    chunks of `chunk` rows and accumulated sequentially, so the scoped
+    VMEM stays ~chunk*(B,128) instead of Mr*(B,128).  Required for the
+    sigma-sized plane scans: zipf-2^20's value planes are ~5000 rows,
+    and Mosaic scopes every masked term of a plain _lookup (measured
+    OOM at 40 rows x (256,128) on the encode side, choose_g)."""
+    lo = idx & 127
+    hi = idx >> 7
+    acc = None
+    for c0 in range(0, Mr, chunk):
+        terms = []
+        for h in range(c0, min(c0 + chunk, Mr)):
+            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
+            y = jnp.take_along_axis(row, lo, axis=1)
+            terms.append(jnp.where(hi == h, y, 0))
+        while len(terms) > 1:
+            nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) & 1:
+                nxt.append(terms[-1])
+            terms = nxt
+        acc = terms[0] if acc is None else acc | terms[0]
+    return acc
+
+
 def _plane_lookup(rows_arr, idx, nrows, bits, B):
     """Read entry idx from a bit-packed plane table ((nrows,128) i32 of
-    32/bits-entry words; ops/grouped.Plane layout)."""
+    32/bits-entry words; ops/grouped.Plane layout).  Large planes use
+    the chunk-accumulated scan to bound scoped VMEM."""
     per = 32 // bits
-    word = _lookup(rows_arr, jax.lax.shift_right_logical(
+    look = _lookup if nrows <= 32 else _lookup_acc
+    word = look(rows_arr, jax.lax.shift_right_logical(
         idx, per.bit_length() - 1), nrows, B)
     sh = (idx & (per - 1)) * bits
     return jax.lax.shift_right_logical(word, sh) & ((1 << bits) - 1)
@@ -752,6 +760,8 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
             for pref, (bits, rows, shift) in zip(planes, planespec):
                 comp = comp | (_plane_lookup(pref, rank, rows, bits, R)
                                << shift)
+        elif has_exc:
+            comp = jnp.zeros((R, 128), jnp.int32)  # all-zero high table
         else:
             comp = rank                  # identity: rank IS the value
         val = comp + low if has_exc else comp
@@ -819,17 +829,25 @@ def stage_grouped(payload: np.ndarray, states: np.ndarray, gt, n: int, *,
     NE = gt.max_nb if gt.has_exc else 0
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
     R = S // 128
-    while TC * R * 512 * 2 > (6 << 20) and TC > 8:
+    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
+    # out-block VMEM budget: the sigma-sized plane tables and the
+    # double-buffered stream section share the 16MB with the
+    # double-buffered output block — subtract them before sizing TC
+    planes = gt.high_planes if gt.has_exc else gt.val_planes
+    plane_bytes = sum(p.rows * 512 for p in planes)
+    if gt.nb_plane is not None:
+        plane_bytes += gt.nb_plane.rows * 512
+    out_budget = max(1 << 20,
+                     (12 << 20) - plane_bytes - 2 * stream3d.shape[1] * 512)
+    while TC * R * 512 * 2 > out_budget and TC > 8:
         TC //= 2
     while t_sec % TC:
         TC //= 2
-    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
     gprows, gpivs = [], []
     for p in lay.slot_pivots:
         r = max(1, -(-len(p) // 128))
         gprows.append(r)
         gpivs.append(jnp.asarray(_pad_rows(p.view(np.int32), r)))
-    planes = gt.high_planes if gt.has_exc else gt.val_planes
     planespec = tuple((p.bits, p.rows, p.shift) for p in planes)
     plane_arrs = [jnp.asarray(_pad_rows(p.words.view(np.int32), p.rows))
                   for p in planes]

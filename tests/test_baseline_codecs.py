@@ -145,6 +145,29 @@ def test_arith_native_matches_python_wire():
         np.testing.assert_array_equal(out_py, vals)
 
 
+def test_arith_rejects_corrupt_wire():
+    """Forged total_log2 or a non-increasing frequency prelude must
+    raise, not SIGFPE in the native loop (rng collapses to 0 and the
+    next (code-low)/r divides by zero)."""
+    import ans_tpu.models.arith as am
+    from ans_tpu.reference_model import vbyte
+    vals = (np.random.default_rng(5).zipf(1.4, 5000) - 1).astype(
+        np.uint32)
+    c = am.Arith()
+    blob = c.encode(vals)
+    _, p1 = vbyte.decode_u32(blob, 0)
+    _, p2 = vbyte.decode_u32(blob, p1)
+    forged = bytearray(blob)
+    tl2 = forged[p2]
+    forged[p2] = 40  # total_log2 out of range
+    with pytest.raises(ValueError, match="corrupt arith"):
+        c.decode(bytes(forged), len(vals))
+    # in-range but wrong: the frequency-sum check must fire
+    forged[p2] = 17 if tl2 != 17 else 18
+    with pytest.raises(ValueError, match="corrupt arith"):
+        c.decode(bytes(forged), len(vals))
+
+
 def test_shuff_pure_python_fallback_matches_native():
     """The numpy packer/decoder must work (and emit identical bytes)
     when libansnative.so is absent — regression for a uint64/int64
