@@ -126,3 +126,11 @@ def test_single_process_fallbacks():
         codec_r.decode_local(shard_r, len(values)), values)
     with pytest.raises(ValueError, match="non-empty"):
         codec.encode_local(np.empty(0, np.uint32))
+    # large alphabet (sigma > 2^13): the shared model selects the
+    # frequency-grouped slot layout through the multihost entry points
+    big = np.concatenate([np.arange(9000, dtype=np.uint32) * 2,
+                          values]).astype(np.uint32)
+    codec_g = mh.MultiHostBlockCodec("ANS", lanes=32)
+    shard_g = codec_g.encode_local(big)
+    np.testing.assert_array_equal(codec_g.decode_local(shard_g, len(big)),
+                                  big)

@@ -1,0 +1,215 @@
+"""BlockCodec D=1 vs unblocked prepared paths on the real chip.
+
+VERDICT r2 item 3: the blocked runtime's throughput had only virtual-
+CPU-mesh evidence.  This measures, same process, zipf fold-2 n=2^25:
+
+  1. unblocked PreparedDecoder / PreparedEncoder (bench.py's numbers),
+  2. BlockCodec(D=1, engine=pallas) decode/encode with the per-device
+     staging done once and the shard_map programs timed on repeat calls
+     (the honest device-kernel number — one-shot BlockCodec calls are
+     relay-transfer-bound on this machine).
+
+Done-criterion: blocked >= ~0.9x unblocked, or the gap diagnosed.
+
+    python tools/bench_block_d1.py [-n 25] [--lanes 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=25)
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--lanes", type=int, default=4096)
+    ap.add_argument("--method", default="ANSfold-2")
+    args = ap.parse_args()
+
+    from ans_tpu import runtime
+    runtime.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ans_tpu.models import framing
+    from ans_tpu.ops import lane_codec, tables
+    from ans_tpu.parallel import BlockCodec, make_mesh
+    from ans_tpu.parallel import block_runtime as br
+
+    n = 1 << args.n
+    rng = np.random.default_rng(42)
+    values = (rng.zipf(1.25, size=n) - 1).clip(0, (1 << 28) - 1).astype(
+        np.uint32)
+
+    # ---- unblocked reference points (same data, same lanes) ----------
+    import tools.full_bench as fb
+    from ans_tpu import models
+    from ans_tpu.models.engine import PreparedDecoder
+    from ans_tpu.reference_model import mappings as map_np
+    from ans_tpu.reference_model.model import load_prelude
+    codec = models.get(args.method, "lane")
+    codec.lanes = args.lanes
+    blob = codec.encode(values)
+    prep = fb._prepare(args.method, blob, n, framing, PreparedDecoder,
+                       lane_codec, tables, map_np, load_prelude)
+    prep().block_until_ready()
+    t_un = min(_t(lambda: prep().block_until_ready())
+               for _ in range(args.runs))
+    print(f"unblocked decode: {n / t_un / 1e6:.0f}M ints/s "
+          f"({prep.engine})", flush=True)
+
+    # ---- blocked D=1: stage once, time the shard_map programs --------
+    bc = BlockCodec(args.method, make_mesh(1), lanes=args.lanes,
+                    engine="pallas")
+    t0 = time.time()
+    bblob = bc.encode(values)
+    print(f"blocked encode one-shot: {time.time() - t0:.1f}s "
+          f"(relay-transfer bound, not the kernel number)", flush=True)
+    out = bc.decode(bblob, n)
+    assert (out == values).all(), "blocked round-trip failed"
+
+    # decode: re-stage exactly as BlockCodec.decode does, then time the
+    # program alone (device-resident repeat calls)
+    import struct
+    from ans_tpu.models.ans import _maybe_layout
+    from ans_tpu.ops import pallas_decode
+    from ans_tpu.models import engine as _engine
+    magic, ver, kind_id, fid, h_app, n_stored, D = struct.unpack_from(
+        "<IBBBBII", bblob, 0)
+    pos = 16
+    (plen,) = struct.unpack_from("<I", bblob, pos)
+    pos += 4
+    nfreqs, _ = load_prelude(bblob[pos:pos + plen + 8])
+    pos += plen
+    layout = _maybe_layout(nfreqs)
+    syms = np.arange(len(nfreqs), dtype=np.uint32)
+    kind = br._KIND_NAMES[kind_id]
+    if kind == "msb":
+        dt = tables.build_dec_table(nfreqs, map_np.msb_unmap_high(syms),
+                                    map_np.msb_exception_bytes(syms),
+                                    layout=layout, slots=layout is None)
+    elif kind == "fold":
+        high, nb = map_np.fold_unmap_high(syms, fid)
+        dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
+                                    slots=layout is None)
+    else:
+        dt = tables.build_dec_table(nfreqs, layout=layout,
+                                    slots=layout is None)
+    B = -(-n // D)
+    n_sec = np.clip(n - B * np.arange(D), 0, B).astype(np.int32)
+    secs = []
+    for _ in range(D):
+        (slen,) = struct.unpack_from("<I", bblob, pos)
+        pos += 4
+        secs.append(framing.parse(bblob[pos:pos + slen], 0))
+        pos += slen
+    S = secs[0][0]
+    T = lane_codec.lane_steps(B, S)
+    out_arr = bc._decode_pallas(secs, dt, n_sec, S=S, T=T,
+                                has_exc=dt.has_exc)
+    assert out_arr is not None, "pallas block decode not taken"
+    # time the cached program with pre-uploaded arrays: rebuild the
+    # staging (mirrors _decode_pallas) but hoist the upload
+    which = _engine.choose_decode_engine(dt, S)
+    if bc.interpret and which == "xla":
+        # off-TPU smoke runs: mirror _decode_pallas's re-evaluation
+        if dt.layout is not None:
+            which = "grouped"
+        elif _engine._search_cost(dt) is not None:
+            which = "search"
+        else:
+            which = "direct"
+    print(f"blocked decode engine: {which}", flush=True)
+    NR = tables.max_renorm_rounds(dt.log2m)
+    gt = None
+    if which == "grouped":
+        from ans_tpu.ops import grouped as grouped_mod
+        gt = grouped_mod.build_group_table(dt.layout, dt.sym_high,
+                                           dt.sym_nb)
+        NE = gt.max_nb if gt.has_exc else 0
+    else:
+        dt = tables.materialize_slots(dt)
+        NE = int(dt.nb.max()) if dt.has_exc else 0
+    WR = -(-(512 + (NR + NE) * S) // 512) + 1
+    sw = max(int(np.asarray(s[4]).max()) for s in secs) + WR * 512
+    sw = -(-sw // (128 * 1024)) * (128 * 1024)
+    streams, states = [], []
+    kw = None
+    tabs = ()
+    st_tab = None
+    if which == "search":
+        st_tab = tables.build_search_table(dt.nfreqs, dt.sym_high,
+                                           dt.sym_nb)
+    for d, (_, st, pay, t_sec, sec_len) in enumerate(secs):
+        if which == "grouped":
+            a, kw_d = pallas_decode.stage_grouped(
+                np.asarray(pay), st, gt, int(n_sec[d]), S=S, T=T,
+                t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
+                to_device=False, interpret=bc.interpret)
+        elif which == "search":
+            a, kw_d = pallas_decode.stage_search(
+                np.asarray(pay), st, st_tab, int(n_sec[d]), S=S, T=T,
+                t_sec=t_sec, sec_len=sec_len, sw_bytes=sw,
+                to_device=False, interpret=bc.interpret)
+        else:
+            a, kw_d = pallas_decode.stage(
+                np.asarray(pay), st, dt, int(n_sec[d]), S=S, T=T,
+                has_exc=dt.has_exc, t_sec=t_sec, sec_len=sec_len,
+                sw_bytes=sw, to_device=False,
+                interpret=bc.interpret)
+        streams.append(a[0])
+        states.append(a[1])
+        if kw is None:
+            kw, tabs = kw_d, a[3:]
+    fn = {"grouped": pallas_decode._call_grouped,
+          "search": pallas_decode._call_search}.get(
+              which, pallas_decode._call)
+    prog = bc._pallas_decode_program(fn, kw, len(tabs))
+    sdev = jnp.asarray(np.stack(streams))
+    stdev = jnp.asarray(np.stack(states))
+    ndev = jnp.asarray(n_sec)
+    jax.block_until_ready(prog(sdev, stdev, ndev, *tabs))
+    t_bl = min(_t(lambda: jax.block_until_ready(
+        prog(sdev, stdev, ndev, *tabs))) for _ in range(args.runs))
+    print(f"blocked D=1 decode: {n / t_bl / 1e6:.0f}M ints/s "
+          f"(= {t_un / t_bl:.2f}x unblocked)", flush=True)
+
+    # encode: stage mapped once, time the scan+place programs
+    from ans_tpu.ops import mappings_jax as mj
+    from ans_tpu.constants import fold_max_sigma
+    from ans_tpu.reference_model.model import adjust_freqs
+    vals = np.zeros(D * B, dtype=np.uint32)
+    vals[:n] = values
+    vals = vals.reshape(D, B)
+    if kind == "fold":
+        mapped, k, b, hist = bc._map_hist_program(
+            fold_max_sigma(fid))(jnp.asarray(vals))
+        freqs = np.asarray(hist).astype(np.uint64)
+        if D * B > n:
+            freqs[bc._padding_symbol()] -= D * B - n
+        max_sym = int(np.flatnonzero(freqs)[-1])
+        nfreqs_e = adjust_freqs(freqs, max_sym, True, 1)
+        et = tables.build_enc_table(nfreqs_e)
+        jax.block_until_ready(mapped)
+        t_be = min(_t(lambda: bc._encode_pallas(
+            mapped, k, b, n_sec, et, S=S, T=T))
+            for _ in range(args.runs))
+        print(f"blocked D=1 encode (scan+place+host sections): "
+              f"{n / t_be / 1e6:.0f}M ints/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
