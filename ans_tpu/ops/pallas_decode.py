@@ -35,6 +35,7 @@ bitcast to u32.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,23 @@ def _lookup(rows, idx, Mr, B):
     return terms[0]
 
 
-def _prefixc(m6, R, C):
+def rowmm_mask(R, C):
+    """Loop-invariant segmented lower-triangular mask for the row-pass
+    matmul of _prefixc: mask[b, b'] = (b' <= b) within one channel.
+    Build this ONCE before the step loop — the round-2 experiment that
+    built it per step measured 4% SLOWER than the roll rounds; hoisted,
+    the row pass becomes one (B,B)@(B,128) MXU op per step."""
+    B = C * R
+    rb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    lg = R.bit_length() - 1  # R = S/128 is a power of two
+    return ((cb <= rb)
+            & (jax.lax.shift_right_logical(cb, lg)
+               == jax.lax.shift_right_logical(rb, lg))).astype(
+        jnp.float32)
+
+
+def _prefixc(m6, R, C, rowmask=None):
     """Batched exclusive prefix sums of C (R,128) masks stacked as
     (C*R, 128), each in lane-major order within its own channel.
     Returns (exclusive ranks (C*R,128), per-channel totals (C, 128)).
@@ -73,15 +90,29 @@ def _prefixc(m6, R, C):
     the MXU instead of 7 roll+where rounds on the VPU (+4-5% on the
     decode headline, more on the placement kernel whose prefix spans
     G*CH*R rows).  Exact: per-lane values here are byte counts <= 8,
-    so lane sums <= 1024 << 2^24."""
+    so lane sums <= 1024 << 2^24.
+
+    rowmask: precomputed rowmm_mask(R, C) — the row pass then runs as
+    one (B,B)@(B,128) MXU matmul instead of log2(R) roll rounds
+    (exact: row sums <= B*1024 < 2^24)."""
     B = C * R
     r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     tri = (r128 <= c128).astype(jnp.float32)
-    inc = jnp.dot(m6.astype(jnp.float32), tri,
-                  preferred_element_type=jnp.float32).astype(jnp.int32)
+    incf = jnp.dot(m6.astype(jnp.float32), tri,
+                   preferred_element_type=jnp.float32)
+    inc = incf.astype(jnp.int32)
     row_tot = jnp.broadcast_to(inc[:, 127:128], (B, 128))
-    if R > 1:
+    if R > 1 and rowmask is not None:
+        rinc = jnp.dot(rowmask,
+                       jnp.broadcast_to(incf[:, 127:128], (B, 128)),
+                       preferred_element_type=jnp.float32).astype(
+            jnp.int32)
+        excl_row = rinc - row_tot
+        chan_tot = jnp.concatenate(
+            [rinc[c * R + R - 1:c * R + R] for c in range(C)],
+            axis=0)                           # (C, 128), lane-uniform
+    elif R > 1:
         row = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
         sub = row % R  # row index within channel
         rinc = row_tot
@@ -111,7 +142,7 @@ def _take1(row, idx, B):
 
 
 def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR,
-                split_win=False):
+                split_win=False, rowmask=None):
     """Shared per-step stream machinery: batched rank prefix over the
     NR+NE round masks, the window gather(s), then the high-first
     merges.
@@ -133,7 +164,7 @@ def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR,
     paths."""
     CH = NR + NE
     m6 = jnp.concatenate(ms, axis=0)                    # (CH*R,128)
-    rank, chan_tot = _prefixc(m6, R, CH)
+    rank, chan_tot = _prefixc(m6, R, CH, rowmask)
     bases_l = [jnp.zeros((1, 128), jnp.int32)]
     for c in range(CH):
         bases_l.append(bases_l[-1] + chan_tot[c:c + 1])
@@ -178,7 +209,7 @@ def _read_merge(stream_ref, cursor, st0, ms, R, NR, NE, WR,
 
 def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             out_ref, state_scr, cur_scr, *, S, R, TC, T_SEC, Mr, WR,
-            log2m, has_exc, packed23, NR, NE, split_win):
+            log2m, has_exc, packed23, NR, NE, split_win, rowmm=False):
     sec = pl.program_id(0)
     tc = pl.program_id(1)
     mask = (1 << log2m) - 1
@@ -198,6 +229,7 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
     w1 = w1_ref[:]
     w2 = w2_ref[:]
     w3 = w3_ref[:] if (has_exc and not packed23) else None
+    rmask = rowmm_mask(R, NR + NE) if (rowmm and R > 1) else None
 
     def step(i, carry):
         state, cursor = carry            # (R,128) i32, (1,128) i32
@@ -223,7 +255,8 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
                                         R, NR, NE, WR,
-                                        split_win=split_win)
+                                        split_win=split_win,
+                                        rowmask=rmask)
         if has_exc:
             if packed23:
                 high = jnp.where(
@@ -247,16 +280,16 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
                    static_argnames=("S", "R", "TC", "T_SEC", "NSEC", "Mr",
                                     "WR", "SWr", "log2m", "has_exc",
                                     "packed23", "NR", "NE", "split_win",
-                                    "interpret"))
+                                    "rowmm", "interpret"))
 def _call(stream3d, states2d, n, w1, w2, w3, *, S, R, TC, T_SEC, NSEC, Mr,
           WR, SWr, log2m, has_exc, packed23=False, NR=3, NE=3,
-          split_win=False, interpret=False):
+          split_win=False, rowmm=False, interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, R=R, TC=TC, T_SEC=T_SEC, Mr=Mr,
                           WR=WR, log2m=log2m, has_exc=has_exc,
                           packed23=packed23, NR=NR, NE=NE,
-                          split_win=split_win),
+                          split_win=split_win, rowmm=rowmm),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -285,6 +318,14 @@ def _pad_rows(arr_i32: np.ndarray, rows: int) -> np.ndarray:
     flat = arr_i32.reshape(-1)
     out.reshape(-1)[: len(flat)] = flat
     return out
+
+
+def _rowmm_env() -> bool:
+    """ANS_TPU_ROWMM=1: the rank-prefix ROW pass as one hoisted-mask
+    (B,B)@(B,128) MXU matmul instead of log2(R) roll rounds — the r2
+    ablation put the prefix chain at 26% of the decode step; measure
+    head-to-head before making it the default."""
+    return bool(os.environ.get("ANS_TPU_ROWMM"))
 
 
 def _stage_stream(payload: np.ndarray, sec_len, WR: int,
@@ -329,7 +370,7 @@ def _stage_stream(payload: np.ndarray, sec_len, WR: int,
 def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                    S, R, TC, T_SEC, Sr, WR, log2m, M, depth, has_exc,
                    val_table, packed23, NR, NE, prows, ppack, w2pack,
-                   split_win):
+                   split_win, rowmm=False):
     piv_refs = rest[:depth]
     out_ref = rest[depth]
     state_scr, cur_scr = rest[depth + 1], rest[depth + 2]
@@ -352,6 +393,7 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
     w2 = w2_ref[:]
     w3 = w3_ref[:] if (has_exc and not packed23) else None
     pivs = [p[:] for p in piv_refs]
+    rmask = rowmm_mask(R, NR + NE) if (rowmm and R > 1) else None
 
     def step(i, carry):
         state, cursor = carry            # (R,128) i32, (1,128) i32
@@ -398,7 +440,8 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
                                         R, NR, NE, WR,
-                                        split_win=split_win)
+                                        split_win=split_win,
+                                        rowmask=rmask)
         if has_exc:
             if packed23:
                 high = jnp.where(
@@ -425,11 +468,12 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
                                     "WR", "SWr", "log2m", "M", "depth",
                                     "has_exc", "val_table", "packed23",
                                     "NR", "NE", "prows", "ppack",
-                                    "w2pack", "split_win", "interpret"))
+                                    "w2pack", "split_win", "rowmm",
+                                    "interpret"))
 def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
                  NSEC, Sr, WR, SWr, log2m, M, depth, has_exc, val_table,
                  packed23, NR, NE, prows, ppack, w2pack,
-                 split_win=False, interpret=False):
+                 split_win=False, rowmm=False, interpret=False):
     num_tc = T_SEC // TC
     out = pl.pallas_call(
         functools.partial(_kernel_search, S=S, R=R, TC=TC, T_SEC=T_SEC,
@@ -437,7 +481,7 @@ def _call_search(stream3d, states2d, n, w2, w3, *pivs, S, R, TC, T_SEC,
                           has_exc=has_exc, val_table=val_table,
                           packed23=packed23, NR=NR, NE=NE, prows=prows,
                           ppack=ppack, w2pack=w2pack,
-                          split_win=split_win),
+                          split_win=split_win, rowmm=rowmm),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -536,7 +580,8 @@ def stage_search(payload: np.ndarray, states: np.ndarray, st, n: int, *,
               SWr=stream3d.shape[1], log2m=st.log2m, M=st.frame_size,
               depth=st.depth, has_exc=has_exc, val_table=val_table,
               packed23=packed23, NR=NR, NE=NE, prows=prows, ppack=ppack,
-              w2pack=w2pack, split_win=split_win, interpret=interpret)
+              w2pack=w2pack, split_win=split_win, rowmm=_rowmm_env(),
+              interpret=interpret)
     return args, kw
 
 
@@ -606,7 +651,7 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
               Mr=Mr, WR=WR,
               SWr=stream3d.shape[1], log2m=dt.log2m, has_exc=has_exc,
               packed23=packed23, NR=NR, NE=NE, split_win=split_win,
-              interpret=interpret)
+              rowmm=_rowmm_env(), interpret=interpret)
     return args, kw
 
 
@@ -681,7 +726,7 @@ def _plane_lookup(rows_arr, idx, nrows, bits, B):
 def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
                     gmg_ref, *rest, S, R, TC, T_SEC, NGr, WR, log2m, M,
                     gdepth, gprows, planespec, nbrows, has_exc, NR, NE,
-                    split_win):
+                    split_win, rowmm=False):
     from .pallas_encode import _mulhi32
     gpiv_refs = rest[:gdepth]
     plane_refs = rest[gdepth:gdepth + len(planespec)]
@@ -713,6 +758,7 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
     gpivs = [p[:] for p in gpiv_refs]
     planes = [p[:] for p in plane_refs]
     nbp = nb_ref[:] if has_exc else None
+    rmask = rowmm_mask(R, NR + NE) if (rowmm and R > 1) else None
 
     def step(i, carry):
         state, cursor = carry            # (R,128) i32, (1,128) i32
@@ -754,7 +800,8 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
             ms += [(nb > jj).astype(jnp.int32) for jj in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
                                         R, NR, NE, WR,
-                                        split_win=split_win)
+                                        split_win=split_win,
+                                        rowmask=rmask)
         if planespec:
             comp = jnp.zeros((R, 128), jnp.int32)
             for pref, (bits, rows, shift) in zip(planes, planespec):
@@ -779,11 +826,11 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
                                     "WR", "SWr", "log2m", "M", "gdepth",
                                     "gprows", "planespec", "nbrows",
                                     "has_exc", "NR", "NE", "split_win",
-                                    "interpret"))
+                                    "rowmm", "interpret"))
 def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
                   T_SEC, NSEC, NGr, WR, SWr, log2m, M, gdepth, gprows,
                   planespec, nbrows, has_exc, NR, NE, split_win=False,
-                  interpret=False):
+                  rowmm=False, interpret=False):
     num_tc = T_SEC // TC
     nextra = gdepth + len(planespec) + (1 if has_exc else 0)
     out = pl.pallas_call(
@@ -791,7 +838,7 @@ def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
                           NGr=NGr, WR=WR, log2m=log2m, M=M, gdepth=gdepth,
                           gprows=gprows, planespec=planespec,
                           nbrows=nbrows, has_exc=has_exc, NR=NR, NE=NE,
-                          split_win=split_win),
+                          split_win=split_win, rowmm=rowmm),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -870,7 +917,7 @@ def stage_grouped(payload: np.ndarray, states: np.ndarray, gt, n: int, *,
               M=lay.frame_size, gdepth=lay.slot_depth,
               gprows=tuple(gprows), planespec=planespec, nbrows=nbrows,
               has_exc=gt.has_exc, NR=NR, NE=NE, split_win=split_win,
-              interpret=interpret)
+              rowmm=_rowmm_env(), interpret=interpret)
     return args, kw
 
 
