@@ -65,9 +65,15 @@ _lsr = jax.lax.shift_right_logical
 # --------------------------------------------------------------------------
 
 def _div_k(x, K: int):
-    """Exact x // K for 0 <= x < 5120, K in {4, 5}, as vector ops
+    """Exact x // K for 0 <= x < 5120, K in {1..5}, as vector ops
     (pallas kernels cannot capture array constants, so index patterns
-    are computed from iotas; division by 5 is a multiply-shift)."""
+    are computed from iotas; division by 3/5 is a multiply-shift)."""
+    if K == 1:
+        return x
+    if K == 2:
+        return _lsr(x, 1)
+    if K == 3:
+        return _lsr(x * 2731, 13)  # exact for x < 8192
     if K == 4:
         return _lsr(x, 2)
     return _lsr(x * 205, 10)
@@ -471,11 +477,21 @@ def _prefixmax(x, B):
 
 
 def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
-                   GD, WIN, NB):
+                   GD, WIN, NB, K=5):
+    """K: densest target layout that holds every element (the GLOBAL
+    max element length, host-derived from one terminator scan).  The
+    expansion routes byte j of element e to slot K*e + j, so both the
+    route round count (bits of K*E) and the target rows (K*E/128)
+    shrink with K; WIN is byte-bounded (max actual window consumption,
+    not the 5-bytes/element worst case), shrinking every byte-domain
+    pass.  Together these were the PERF.md backlog's 'denser target
+    layout' (vbyte trailed svb 468 vs 666M)."""
     b = pl.program_id(0)
     S, R = _S_DEC, _R_DEC
     E = GD * S                         # elements per window
     BD = 4 * WIN                       # byte-domain rows
+    ERt = (K * E) // 128               # route target rows
+    Rw = max(BD, ERt)                  # route domain rows
 
     @pl.when(b == 0)
     def _init():
@@ -507,17 +523,19 @@ def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
     smark = jnp.where((p == 0) | termprev, p, _NEG)
     start = _prefixmax(smark, BD)                     # element start
     owned = e_excl < E
-    delta = 5 * e_excl - start
+    delta = K * e_excl - start
     w = jnp.where(owned, (delta << 8) | byte, _NEG)
-    RB = max(1, (5 * E - 1).bit_length())
-    w = _route_right(w, RB, BD)
+    if Rw > BD:
+        w = jnp.concatenate(
+            [w, jnp.full((Rw - BD, 128), _NEG, jnp.int32)], axis=0)
+    RB = max(1, (K * E - 1).bit_length())
+    w = _route_right(w, RB, Rw)
     present = ((w >= 0) & ((w >> 8) == 0)).astype(jnp.int32)
     slot = jnp.where(present > 0, w & 0xFF, 0)
-    ERd = (5 * E) // 128                              # value slot rows
-    pj = _collapse(present[:ERd], 5, E // 128)
-    bj = _collapse(slot[:ERd], 5, E // 128)
+    pj = _collapse(present[:ERt], K, E // 128)
+    bj = _collapse(slot[:ERt], K, E // 128)
     val = jnp.zeros((E // 128, 128), jnp.int32)
-    for j in range(5):
+    for j in range(K):
         val = val | jnp.where(pj[j] > 0, (bj[j] & 0x7F) << (7 * j), 0)
     out_ref[0] = pltpu.bitcast(val, jnp.uint32).reshape(GD, R, 128)
     _, consumed = _prefixc(owned.astype(jnp.int32), BD, 1)
@@ -525,11 +543,11 @@ def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("GD", "WIN", "NB", "SWrows",
+                   static_argnames=("GD", "WIN", "NB", "SWrows", "K",
                                     "interpret"))
-def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, interpret=False):
+def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, K=5, interpret=False):
     out = pl.pallas_call(
-        functools.partial(_vb_dec_kernel, GD=GD, WIN=WIN, NB=NB),
+        functools.partial(_vb_dec_kernel, GD=GD, WIN=WIN, NB=NB, K=K),
         grid=(NB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, GD, _R_DEC, 128),
@@ -550,17 +568,35 @@ def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, interpret=False):
 def vbyte_stage(data: np.ndarray, n: int, *, GD: int = 8,
                 interpret: bool = False):
     """Stage the vbyte decode inputs; returns (args, kwargs) for
-    _vb_dec_call."""
+    _vb_dec_call.
+
+    One host terminator scan sizes the kernel to the DATA instead of
+    the format's worst case: K = max element length (route target
+    density / round count) and WIN = max bytes any one window actually
+    consumes (every byte-domain pass) — the 5-bytes/element sizing made
+    both ~2-4x larger than typical streams need."""
     S = _S_DEC
     T = -(-n // S)
     NB = max(1, -(-T // GD))
-    WIN = -(-(-(-(5 * GD * S + 512) // 512) + 2) // 8) * 8  # 8-row align
+    E = GD * S
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    ends = np.flatnonzero((data & 0x80) == 0)[:n]     # end byte of elt i
+    if len(ends) < n:
+        raise ValueError(f"vbyte stream holds {len(ends)} elements, "
+                         f"caller asked for {n}")
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    K = int((ends - starts).max()) + 1 if n else 1
+    # max bytes consumed by any window of E elements
+    wstart = starts[::E]
+    wend = np.append(wstart[1:], ends[-1] + 1)
+    max_con = int((wend - wstart).max())
+    WIN = -(-(-(-(max_con + 512) // 512) + 2) // 8) * 8  # 8-row align
     nbytes = -(-(len(data) + WIN * 512 + 512) // 512) * 512
     buf = np.zeros(nbytes, dtype=np.uint8)
     buf[: len(data)] = data
     stream2 = jnp.asarray(buf.view("<i4").reshape(-1, 128))
     return (stream2,), dict(GD=GD, WIN=WIN, NB=NB,
-                            SWrows=stream2.shape[0],
+                            SWrows=stream2.shape[0], K=K,
                             interpret=interpret)
 
 

@@ -58,6 +58,26 @@ def test_vbyte_decode_kernel(n):
     np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n], x)
 
 
+@pytest.mark.parametrize("kmax", [1, 2, 3, 4, 5])
+def test_vbyte_decode_every_target_density(kmax):
+    """The route target density K is the data's max element length
+    (vbyte_stage terminator scan); every K in 1..5 must route and
+    collapse correctly, including elements shorter than K and window
+    crossings."""
+    rng = np.random.default_rng(kmax)
+    hi = min((1 << (7 * kmax)) - 1, (1 << 32) - 1)
+    x = rng.integers(0, hi + 1, size=9000, dtype=np.uint64).astype(
+        np.uint32)
+    x[0] = hi  # pin the max length to exactly kmax
+    ref, total = bs.vbyte_encode(jnp.asarray(x))
+    args, kw = pb.vbyte_stage(np.asarray(ref[: int(total)]), len(x),
+                              GD=2, interpret=True)
+    assert kw["K"] == kmax
+    out = pb._vb_dec_call(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[: len(x)],
+                                  x)
+
+
 def test_vbyte_decode_window_alignment():
     """All-5-byte values stress the window/base normalization (cursor
     lands mid-row constantly)."""
