@@ -284,7 +284,7 @@ class PreparedEncoder:
         secs = self._pp.place(packed[: self.T], self.nb_ts, self.excb_ts,
                               self._n32, S=self.S, T=self.T,
                               t_sec=self.t_sec, sec_len=self.sec_len,
-                              NR=self.NR, NE=self.NE, G=self.G)
+                              NR=self.NR, NE=self.NE)  # G: VMEM-capped
         return secs, states
 
     def to_bytes(self, secs, states) -> bytes:

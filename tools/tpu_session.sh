@@ -25,3 +25,8 @@ tail -4 /tmp/ab_rowmm.log
 # 5. full method grid refresh (only if time permits / relay stable)
 timeout 7200 python -u tools/full_bench.py > /tmp/full_bench_r3.log 2>&1
 tail -12 /tmp/full_bench_r3.log
+
+# 6. S sweep probe: placement G now VMEM-caps, so S=8192 stages —
+#    check whether the decode optimum moved past S=4096
+timeout 3600 python -u tools/ab_rowmm.py --lanes 8192 > /tmp/ab_s8192.log 2>&1
+tail -4 /tmp/ab_s8192.log
