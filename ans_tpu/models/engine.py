@@ -241,12 +241,14 @@ class PreparedEncoder:
     """
 
     def __init__(self, mapped_ts, nb_ts, excb_ts, n: int,
-                 et: tables.EncTable, *, S: int, T: int, G: int = 16,
+                 et: tables.EncTable, *, S: int, T: int, G: int = None,
                  layout=None, vr_planes=None):
         """layout: the frequency-grouped slot layout — mapped_ts must
         then carry RANKS (host-remapped), or raw mapped symbols with
         vr_planes = grouped.pack_planes(layout.rank_of) for the
-        in-kernel remap (device-mapped alphabets)."""
+        in-kernel remap (device-mapped alphabets).  G=None: both the
+        scan and placement derive their own VMEM-capped batch factors;
+        an explicit G overrides both."""
         from ..ops import pallas_encode, pallas_place
         from . import framing
         if layout is not None:
@@ -284,7 +286,7 @@ class PreparedEncoder:
         secs = self._pp.place(packed[: self.T], self.nb_ts, self.excb_ts,
                               self._n32, S=self.S, T=self.T,
                               t_sec=self.t_sec, sec_len=self.sec_len,
-                              NR=self.NR, NE=self.NE)  # G: VMEM-capped
+                              NR=self.NR, NE=self.NE, G=self.G)
         return secs, states
 
     def to_bytes(self, secs, states) -> bytes:

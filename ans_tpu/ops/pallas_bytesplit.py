@@ -565,6 +565,55 @@ def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, K=5, interpret=False):
     return out.reshape(NB * GD, _S_DEC)
 
 
+def _scan_vbyte(data: np.ndarray, n: int, E: int,
+                chunk: int = 1 << 22):
+    """One bounded-memory pass over the payload: returns (K = max
+    element length, max_con = max bytes consumed by any window of E
+    elements).  Chunked so the transient index arrays stay ~chunk*8
+    bytes regardless of stream size."""
+    if n == 0:
+        return 1, 0
+    K = 1
+    max_con = 0
+    seen = 0            # elements completed so far
+    last_term = -1      # absolute position of the last terminator
+    win_start = 0       # byte offset where the current window started
+    for c0 in range(0, len(data), chunk):
+        if seen >= n:
+            break
+        piece = data[c0:c0 + chunk]
+        t = np.flatnonzero((piece & 0x80) == 0)
+        if len(t) == 0:
+            continue
+        t = t[: n - seen] + c0          # absolute terminator positions
+        # max element length: gaps between consecutive terminators
+        # (the first element of the chunk starts after last_term)
+        gaps = np.diff(np.concatenate(([last_term], t)))
+        K = max(K, int(gaps.max()))
+        # window boundaries crossed inside this chunk: element index
+        # seen + j finishes at t[j]; window w covers [w*E, (w+1)*E)
+        j0 = (-seen) % E                # first in-chunk window END
+        for j in range(j0 - 1, len(t), E):
+            # element seen+j is the LAST of its window when
+            # (seen + j + 1) % E == 0; j = j0-1 may be -1 (skip)
+            if j < 0:
+                continue
+            end = int(t[j]) + 1
+            max_con = max(max_con, end - win_start)
+            win_start = end
+        last_term = int(t[-1])
+        seen += len(t)
+    if seen < n:
+        raise ValueError(f"vbyte stream holds {seen} elements, "
+                         f"caller asked for {n}")
+    if K > 5:
+        raise ValueError(f"corrupt vbyte stream: {K}-byte element "
+                         f"(u32 elements never exceed 5)")
+    # the (possibly partial) final window
+    max_con = max(max_con, last_term + 1 - win_start)
+    return K, max_con
+
+
 def vbyte_stage(data: np.ndarray, n: int, *, GD: int = 8,
                 interpret: bool = False):
     """Stage the vbyte decode inputs; returns (args, kwargs) for
@@ -580,16 +629,7 @@ def vbyte_stage(data: np.ndarray, n: int, *, GD: int = 8,
     NB = max(1, -(-T // GD))
     E = GD * S
     data = np.ascontiguousarray(data, dtype=np.uint8)
-    ends = np.flatnonzero((data & 0x80) == 0)[:n]     # end byte of elt i
-    if len(ends) < n:
-        raise ValueError(f"vbyte stream holds {len(ends)} elements, "
-                         f"caller asked for {n}")
-    starts = np.concatenate(([0], ends[:-1] + 1))
-    K = int((ends - starts).max()) + 1 if n else 1
-    # max bytes consumed by any window of E elements
-    wstart = starts[::E]
-    wend = np.append(wstart[1:], ends[-1] + 1)
-    max_con = int((wend - wstart).max())
+    K, max_con = _scan_vbyte(data, n, E)
     WIN = -(-(-(-(max_con + 512) // 512) + 2) // 8) * 8  # 8-row align
     nbytes = -(-(len(data) + WIN * 512 + 512) // 512) * 512
     buf = np.zeros(nbytes, dtype=np.uint8)

@@ -103,16 +103,14 @@ def _prefixc(m6, R, C, rowmask=None):
                    preferred_element_type=jnp.float32)
     inc = incf.astype(jnp.int32)
     row_tot = jnp.broadcast_to(inc[:, 127:128], (B, 128))
-    if R > 1 and rowmask is not None:
+    if R == 1:
+        return inc - m6, row_tot              # (C, 128) when R == 1
+    if rowmask is not None:
         rinc = jnp.dot(rowmask,
                        jnp.broadcast_to(incf[:, 127:128], (B, 128)),
                        preferred_element_type=jnp.float32).astype(
             jnp.int32)
-        excl_row = rinc - row_tot
-        chan_tot = jnp.concatenate(
-            [rinc[c * R + R - 1:c * R + R] for c in range(C)],
-            axis=0)                           # (C, 128), lane-uniform
-    elif R > 1:
+    else:
         row = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
         sub = row % R  # row index within channel
         rinc = row_tot
@@ -121,13 +119,10 @@ def _prefixc(m6, R, C, rowmask=None):
             rinc = rinc + jnp.where(sub >= d,
                                     pltpu.roll(rinc, d, axis=0), 0)
             d *= 2
-        excl_row = rinc - row_tot
-        chan_tot = jnp.concatenate(
-            [rinc[c * R + R - 1:c * R + R] for c in range(C)],
-            axis=0)                           # (C, 128), lane-uniform
-    else:
-        excl_row = jnp.zeros_like(row_tot)
-        chan_tot = row_tot                    # (C, 128) when R == 1
+    excl_row = rinc - row_tot
+    chan_tot = jnp.concatenate(
+        [rinc[c * R + R - 1:c * R + R] for c in range(C)],
+        axis=0)                               # (C, 128), lane-uniform
     return (inc - m6) + excl_row, chan_tot
 
 
@@ -324,8 +319,8 @@ def _rowmm_env() -> bool:
     """ANS_TPU_ROWMM=1: the rank-prefix ROW pass as one hoisted-mask
     (B,B)@(B,128) MXU matmul instead of log2(R) roll rounds — the r2
     ablation put the prefix chain at 26% of the decode step; measure
-    head-to-head before making it the default."""
-    return bool(os.environ.get("ANS_TPU_ROWMM"))
+    head-to-head before making it the default.  '0'/'' mean OFF."""
+    return os.environ.get("ANS_TPU_ROWMM", "0") not in ("", "0")
 
 
 def _stage_stream(payload: np.ndarray, sec_len, WR: int,

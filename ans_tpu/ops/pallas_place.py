@@ -262,6 +262,18 @@ def _call(packed4, nb4, excw4, n, *, S, R, G, T_SEC, NSEC, NTB, SWr,
     return out
 
 
+def cap_batch_g(G: int, NR: int, NE: int, S: int) -> int:
+    """Largest batch factor whose slab fits scoped VMEM: the kernel
+    holds ~8-10 live (G*CH*R, 128) i32 slabs; B = 2560 rows (S=4096,
+    G=16, CH=5) is the measured-good envelope — S=8192 at G=16 doubles
+    it and OOMs, so trade batch amortization for rows (round count only
+    grows with log2(G*CH*S)).  ONE owner for the constant: the block
+    runtime calls this too."""
+    while G > 2 and G * (NR + NE) * (S // 128) > 2560:
+        G //= 2
+    return G
+
+
 def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
           NR=3, NE=3, G=None, tc_max=None, interpret=False):
     """Host wrapper: stage inputs per (section, batch), run the kernel,
@@ -273,14 +285,7 @@ def place(packed, nb_ts, excb_ts, n, *, S, T, t_sec, sec_len,
     """
     del tc_max  # kept for API compat; superseded by G batching
     if G is None:
-        G = 16
-        # the kernel holds ~8-10 live (G*CH*R, 128) i32 slabs; B = 2560
-        # rows (S=4096, G=16, CH=5) is the measured-good envelope —
-        # S=8192 at G=16 doubles it and OOMs scoped VMEM, so trade
-        # batch amortization for rows (round count only grows with
-        # log2(G*CH*S))
-        while G > 2 and G * (NR + NE) * (S // 128) > 2560:
-            G //= 2
+        G = cap_batch_g(16, NR, NE, S)
     while t_sec % G:
         G //= 2
     sec_len = np.asarray(sec_len, dtype=np.int64)

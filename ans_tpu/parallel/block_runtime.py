@@ -481,11 +481,8 @@ class BlockCodec:
         NSEC = len(sec_lens[0])
         NR = tables.max_renorm_rounds(et.log2m)
         NE = int(jnp.max(nb_ts))
-        Gp = G
-        # placement holds ~8-10 live (Gp*CH*R,128) slabs: cap the rows
-        # at the measured-good 2560 (see pallas_place.place)
-        while Gp > 2 and Gp * (NR + NE) * R > 2560:
-            Gp //= 2
+        from ..ops import pallas_place
+        Gp = pallas_place.cap_batch_g(G, NR, NE, S)
         while t_sec % Gp:
             Gp //= 2
         CH = NR + NE

@@ -126,12 +126,16 @@ def main():
     which = _engine.choose_decode_engine(dt, S)
     if bc.interpret and which == "xla":
         # off-TPU smoke runs: mirror _decode_pallas's re-evaluation
+        # (including the direct-eligibility guards)
         if dt.layout is not None:
             which = "grouped"
         elif _engine._search_cost(dt) is not None:
             which = "search"
-        else:
+        elif (int(np.asarray(dt.nfreqs).max()) < (1 << 16)
+                and dt.frame_size <= _engine.PALLAS_MAX_FRAME):
             which = "direct"
+        else:
+            raise SystemExit("no Pallas engine eligible for this table")
     print(f"blocked decode engine: {which}", flush=True)
     NR = tables.max_renorm_rounds(dt.log2m)
     gt = None
@@ -141,8 +145,10 @@ def main():
                                            dt.sym_nb)
         NE = gt.max_nb if gt.has_exc else 0
     else:
-        dt = tables.materialize_slots(dt)
-        NE = int(dt.nb.max()) if dt.has_exc else 0
+        if which == "direct":
+            dt = tables.materialize_slots(dt)  # search stays slim
+        NE = (int(np.asarray(dt.sym_nb).max()) if dt.sym_nb is not None
+              else (int(dt.nb.max()) if dt.nb is not None else 0))
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
     sw = max(int(np.asarray(s[4]).max()) for s in secs) + WR * 512
     sw = -(-sw // (128 * 1024)) * (128 * 1024)
