@@ -180,6 +180,42 @@ def main():
     e2e_enc = _time(lambda: codec.encode(data), 2)
     e2e_dec = _time(lambda: codec.decode(blob, N), 2)
 
+    # large-alphabet extra row: ANS (ans_int) on zipf-2^20 through the
+    # frequency-grouped engine (sigma ~1M; the C++ reference decodes
+    # this at 22.9M ints/s, BASELINE_MEASURED large_alphabet).  Failure
+    # here must not void the headline capture.
+    big = {}
+    try:
+        from ans_tpu.models.ans import AnsInt, _maybe_layout
+        from ans_tpu.utils import zipf as _zipf
+        zdata = _zipf.zipf(np.random.default_rng(0), N, 1 << 20)
+        bcodec = AnsInt(lanes=LANES)
+        bblob = bcodec.encode(zdata)
+        assert (bcodec.decode(bblob, N) == zdata).all()
+        nfq, bplen = load_prelude(bblob)
+        lay = _maybe_layout(nfq)
+        bdt = tables.build_dec_table(nfq, layout=lay,
+                                     slots=lay is None)
+        Sb, bstates, bpay, bt_sec, bsec_len = framing.parse(bblob, bplen)
+        bprep = PreparedDecoder(bpay, bstates, bdt, N, S=Sb,
+                                T=lane_codec.lane_steps(N, Sb),
+                                has_exc=False, t_sec=bt_sec,
+                                sec_len=bsec_len, TC=TC)
+        bprep().block_until_ready()
+        bd_ips = N / _time(lambda: bprep().block_until_ready())
+        bm = (json.load(open(bp)).get("large_alphabet", {})
+              .get("datasets", {}).get("zipf20", {}).get("ANS", {})
+              if os.path.exists(bp) else {})
+        big = {
+            "zipf20_ans_decode_ips": round(bd_ips),
+            "zipf20_ans_engine": bprep.engine,
+            "zipf20_ans_bpi": round(8.0 * len(bblob) / N, 4),
+            "zipf20_ans_vs_cpp": round(bd_ips / bm["decode_ips"], 2)
+            if bm else None,
+        }
+    except Exception as e:  # noqa: BLE001 - extra row is best-effort
+        big = {"zipf20_ans_error": f"{type(e).__name__}: {e}"[:300]}
+
     base = {}
     bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
@@ -203,6 +239,7 @@ def main():
         "baseline_decode_ips": base.get("decode_ips"),
         "baseline_encode_ips": base.get("encode_ips"),
         "baseline_bpi": base.get("bpi"),
+        **big,
     }))
 
 
