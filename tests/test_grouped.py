@@ -328,6 +328,23 @@ def test_block_runtime_grouped(big_sparse):
                                   big_sparse)
 
 
+def test_grouped_size_parity_with_compat(big_sparse):
+    """The grouped layout must not change compression: same freqs ->
+    same model bpi; the lane container differs from compat only by the
+    state flush + renorm noise (< 3% at this tiny n; the overhead is
+    4S bytes, amortized at real sizes)."""
+    from ans_tpu import models
+    lane = models.get("ANS", "lane")
+    lane.lanes = 128
+    compat = models.get("ANS", "compat")
+    bl = lane.encode(big_sparse)
+    bc = compat.encode(big_sparse)
+    overhead = (len(bl) - len(bc)) / len(bc)
+    assert -0.005 < overhead < 0.03, overhead
+    np.testing.assert_array_equal(
+        compat.decode(bc, len(big_sparse)), big_sparse)
+
+
 def test_grouped_env_force(monkeypatch, big_sparse):
     """ANS_TPU_DECODE_ENGINE=grouped is honored only under a grouped
     layout; 'search' on a grouped table falls back."""
