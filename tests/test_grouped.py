@@ -328,6 +328,45 @@ def test_block_runtime_grouped(big_sparse):
                                   big_sparse)
 
 
+def test_grouped_fold_exceptions_codec_level():
+    """fold-7 on a wide alphabet pushes the FOLDED sigma past 2^13, so
+    the grouped layout engages WITH exception bytes through the public
+    codec (kernel-level exception coverage is synthetic; this binds the
+    whole fold pipeline end-to-end, decoded by the grouped kernel in
+    interpret mode)."""
+    from ans_tpu.models.ans import AnsFold
+    v = ((np.arange(60000, dtype=np.uint64) * 52817) % (1 << 22)).astype(
+        np.uint32)
+    sig = len(np.unique(map_np.fold_map(v, 7)))
+    assert sig > (1 << 13), sig
+    codec = AnsFold(7, lanes=256)
+    blob = codec.encode(v)
+    np.testing.assert_array_equal(codec.decode(blob, len(v)), v)
+    nfreqs, _ = load_prelude(blob)
+    assert grouped.use_grouped_layout(nfreqs)
+    gt = _grouped_table_fold(codec, nfreqs)
+    _run_decode_blob(codec, blob, v, 256, gt)
+
+
+def _grouped_table_fold(codec, nfreqs):
+    syms = np.arange(len(nfreqs), dtype=np.uint32)
+    high, nb = map_np.fold_unmap_high(syms, codec.fidelity)
+    lay = grouped.build_group_layout(nfreqs)
+    return grouped.build_group_table(lay, high, nb)
+
+
+def _run_decode_blob(codec, blob, values, S, gt):
+    nfreqs, plen = load_prelude(blob)
+    _, states, payload, t_sec, sec_len = framing.parse(blob, plen)
+    n = len(values)
+    T = lane_codec.lane_steps(n, S)
+    out = pallas_decode.decode_grouped(payload, states, gt, n, S=S, T=T,
+                                       t_sec=t_sec, sec_len=sec_len,
+                                       TC=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n],
+                                  values)
+
+
 def test_grouped_size_parity_with_compat(big_sparse):
     """The grouped layout must not change compression: same freqs ->
     same model bpi; the lane container differs from compat only by the
