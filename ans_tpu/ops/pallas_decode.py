@@ -706,6 +706,23 @@ def _lookup_acc(rows, idx, Mr, B, chunk=16):
     return acc
 
 
+def _lookup_multi(tables_, idx, Mr, B):
+    """Several same-shape tables read at ONE index vector: the idx
+    decomposition and the per-row hi==h compare are computed once and
+    shared (the grouped kernel reads g_f/g_rank0/g_magic at the same
+    group id every step)."""
+    lo = idx & 127
+    hi = idx >> 7
+    accs = [None] * len(tables_)
+    for h in range(Mr):
+        sel = hi == h
+        for t, rows in enumerate(tables_):
+            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
+            y = jnp.where(sel, jnp.take_along_axis(row, lo, axis=1), 0)
+            accs[t] = y if accs[t] is None else accs[t] | y
+    return accs
+
+
 def _plane_lookup(rows_arr, idx, nrows, bits, B):
     """Read entry idx from a bit-packed plane table ((nrows,128) i32 of
     32/bits-entry words; ops/grouped.Plane layout).  Large planes use
@@ -773,9 +790,7 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
             take = slot >= pv
             m = m + m + take.astype(jnp.int32)
             lb = jnp.where(take, pv, lb)
-        f = _lookup(gf, m, NGr, R)
-        r0 = _lookup(gr0, m, NGr, R)
-        mg = _lookup(gmg, m, NGr, R)
+        f, r0, mg = _lookup_multi((gf, gr0, gmg), m, NGr, R)
         x = slot - lb
         # j = x / f exactly: GM multiply-high; f == 1 selected around
         e = _lsr(pltpu.bitcast((f - 1).astype(jnp.float32), jnp.int32),
