@@ -231,7 +231,12 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
         t = sec * T_SEC + tc * TC + i
         valid = (t * S + lane_global) < n_val
         slot = state & mask
-        word1 = _lookup(w1, slot, Mr, R)
+        # w1/w2(/w3) are all read at the same slot: one fused pass
+        # shares the idx decomposition and the Mr row compares
+        if has_exc and not packed23:
+            word1, w23, w3v = _lookup_multi((w1, w2, w3), slot, Mr, R)
+        else:
+            word1, w23 = _lookup_multi((w1, w2), slot, Mr, R)
         f = jax.lax.shift_right_logical(word1, 16)
         off = word1 & 0xFFFF
         st0 = f * jax.lax.shift_right_logical(state, log2m) + off
@@ -241,12 +246,11 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
         # (NR), the table's max nb bounds exception reads (NE)
         ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
               for j in range(NR)]
-        w23 = _lookup(w2, slot, Mr, R)
         if has_exc:
             if packed23:
                 nb = jnp.where(valid, w23 & 3, 0)
             else:
-                nb = jnp.where(valid, _lookup(w3, slot, Mr, R), 0)
+                nb = jnp.where(valid, w3v, 0)
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
                                         R, NR, NE, WR,
@@ -419,19 +423,25 @@ def _kernel_search(states_ref, n_ref, stream_ref, w2_ref, w3_ref, *rest,
         st0 = jnp.where(valid, st0, state)
         ms = [(valid & (st0 < (L >> (8 * j)))).astype(jnp.int32)
               for j in range(NR)]
+        unpacked_exc = has_exc and not packed23  # w3 read alongside w2
         if has_exc or val_table:
             if w2pack:
                 w23 = _lookup(w2, jax.lax.shift_right_logical(m, 1),
                               Sr, R)
                 w23 = jax.lax.shift_right_logical(
                     w23, (m & 1) << 4) & 0xFFFF
+            elif unpacked_exc:
+                # w2 and w3 share the index m: fuse the two passes
+                w23, w3v = _lookup_multi((w2, w3), m, Sr, R)
             else:
                 w23 = _lookup(w2, m, Sr, R)
         if has_exc:
             if packed23:
                 nb = jnp.where(valid, w23 & 3, 0)
-            else:
+            elif w2pack:
                 nb = jnp.where(valid, _lookup(w3, m, Sr, R), 0)
+            else:
+                nb = jnp.where(valid, w3v, 0)
             ms += [(nb > j).astype(jnp.int32) for j in range(NE)]
         st, low, step_tot = _read_merge(stream_ref, cursor, st0, ms,
                                         R, NR, NE, WR,
@@ -709,18 +719,27 @@ def _lookup_acc(rows, idx, Mr, B, chunk=16):
 def _lookup_multi(tables_, idx, Mr, B):
     """Several same-shape tables read at ONE index vector: the idx
     decomposition and the per-row hi==h compare are computed once and
-    shared (the grouped kernel reads g_f/g_rank0/g_magic at the same
-    group id every step)."""
+    shared (the direct kernel reads w1/w2/w3 at the same slot, the
+    grouped kernel g_f/g_rank0/g_magic at the same group id).  Each
+    table keeps _lookup's balanced OR tree so the row loop pipelines."""
     lo = idx & 127
     hi = idx >> 7
-    accs = [None] * len(tables_)
+    terms = [[] for _ in tables_]
     for h in range(Mr):
         sel = hi == h
         for t, rows in enumerate(tables_):
             row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
-            y = jnp.where(sel, jnp.take_along_axis(row, lo, axis=1), 0)
-            accs[t] = y if accs[t] is None else accs[t] | y
-    return accs
+            terms[t].append(
+                jnp.where(sel, jnp.take_along_axis(row, lo, axis=1), 0))
+    outs = []
+    for ts in terms:
+        while len(ts) > 1:
+            nxt = [a | b for a, b in zip(ts[::2], ts[1::2])]
+            if len(ts) & 1:
+                nxt.append(ts[-1])
+            ts = nxt
+        outs.append(ts[0])
+    return outs
 
 
 def _plane_lookup(rows_arr, idx, nrows, bits, B):
