@@ -716,30 +716,36 @@ def _lookup_acc(rows, idx, Mr, B, chunk=16):
     return acc
 
 
-def _lookup_multi(tables_, idx, Mr, B):
+def _lookup_multi(tables_, idx, Mr, B, chunk=16):
     """Several same-shape tables read at ONE index vector: the idx
     decomposition and the per-row hi==h compare are computed once and
     shared (the direct kernel reads w1/w2/w3 at the same slot, the
     grouped kernel g_f/g_rank0/g_magic at the same group id).  Each
-    table keeps _lookup's balanced OR tree so the row loop pipelines."""
+    table keeps _lookup's balanced OR tree within a chunk so the row
+    loop pipelines, and chunks accumulate sequentially so the scoped
+    VMEM stays ~chunk*len(tables_)*(B,128) even at the direct kernel's
+    Mr = 512 ceiling (PALLAS_MAX_FRAME/128; Mosaic scopes every live
+    masked term — see _lookup_acc)."""
     lo = idx & 127
     hi = idx >> 7
-    terms = [[] for _ in tables_]
-    for h in range(Mr):
-        sel = hi == h
-        for t, rows in enumerate(tables_):
-            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
-            terms[t].append(
-                jnp.where(sel, jnp.take_along_axis(row, lo, axis=1), 0))
-    outs = []
-    for ts in terms:
-        while len(ts) > 1:
-            nxt = [a | b for a, b in zip(ts[::2], ts[1::2])]
-            if len(ts) & 1:
-                nxt.append(ts[-1])
-            ts = nxt
-        outs.append(ts[0])
-    return outs
+    accs = [None] * len(tables_)
+    for c0 in range(0, Mr, chunk):
+        terms = [[] for _ in tables_]
+        for h in range(c0, min(c0 + chunk, Mr)):
+            sel = hi == h
+            for t, rows in enumerate(tables_):
+                row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
+                terms[t].append(
+                    jnp.where(sel,
+                              jnp.take_along_axis(row, lo, axis=1), 0))
+        for t, ts in enumerate(terms):
+            while len(ts) > 1:
+                nxt = [a | b for a, b in zip(ts[::2], ts[1::2])]
+                if len(ts) & 1:
+                    nxt.append(ts[-1])
+                ts = nxt
+            accs[t] = ts[0] if accs[t] is None else accs[t] | ts[0]
+    return accs
 
 
 def _plane_lookup(rows_arr, idx, nrows, bits, B):

@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_decode import _lookup_multi
 from .tables import A_L
 
 _lsr = jax.lax.shift_right_logical
@@ -163,19 +164,17 @@ def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, *rest, S, R, TC, NT,
                 take = syms >= pv
                 m = m + m + take.astype(jnp.int32)
                 lbr = jnp.where(take, pv, lbr)
-            fb = _lookup(t1, m, Msr, G * R)        # g_f
-            mg = _lookup(t2, m, Msr, G * R)        # g_magic
-            s0 = _lookup(tb, m, Msr, G * R)        # g_slot0
+            # g_f / g_magic / g_slot0 all read at the group id m: one
+            # fused pass shares the idx decomposition + row compares
+            fb, mg, s0 = _lookup_multi((t1, t2, tb), m, Msr, G * R)
             bb = s0 + (syms - lbr) * fb
         elif big_m:
-            fb = _lookup(t1, syms, Msr, G * R)
-            bb = _lookup(tb, syms, Msr, G * R)
-            mg = _lookup(t2, syms, Msr, G * R)     # GM magic
+            fb, bb, mg = _lookup_multi((t1, tb, t2), syms, Msr, G * R)
         else:
-            w1 = _lookup(t1, syms, Msr, G * R)     # freq<<16 | base
+            # freq<<16|base and GM magic share the symbol index
+            w1, mg = _lookup_multi((t1, t2), syms, Msr, G * R)
             fb = _lsr(w1, 16)
             bb = w1 & 0xFFFF
-            mg = _lookup(t2, syms, Msr, G * R)     # GM magic
         # divide shift = max(ceil(log2 f) - 1, 0) = the f32 exponent of
         # f-1, clamped (exact: f-1 < 2^22 < 2^24)
         e = _lsr(pltpu.bitcast((fb - 1).astype(jnp.float32), jnp.int32),
