@@ -46,6 +46,7 @@ codecs from the shuffle/roll primitives that actually vectorize on TPU:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -476,8 +477,7 @@ def _prefixmax(x, B):
     return jnp.maximum(inc, prev_rows)
 
 
-def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
-                   GD, WIN, NB, K=5):
+def _vb_dec_kernel(stream_hbm, *refs, GD, WIN, NB, K=5, rowmm=False):
     """K: densest target layout that holds every element (the GLOBAL
     max element length, host-derived from one terminator scan).  The
     expansion routes byte j of element e to slot K*e + j, so both the
@@ -485,7 +485,16 @@ def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
     shrink with K; WIN is byte-bounded (max actual window consumption,
     not the 5-bytes/element worst case), shrinking every byte-domain
     pass.  Together these were the PERF.md backlog's 'denser target
-    layout' (vbyte trailed svb 468 vs 666M)."""
+    layout' (vbyte trailed svb 468 vs 666M).
+
+    rowmm: a host-hoisted (BD,BD) inclusive lower-triangular f32 mask
+    rides as an extra input and turns the terminator prefix's row pass
+    into one MXU matmul instead of log2(BD) roll rounds (exact: row
+    sums <= BD*128 << 2^24).  ANS_TPU_VB_ROWMM selects it at staging."""
+    if rowmm:
+        vbmask_ref, out_ref, cur_scr, win_scr, sem = refs
+    else:
+        out_ref, cur_scr, win_scr, sem = refs
     b = pl.program_id(0)
     S, R = _S_DEC, _R_DEC
     E = GD * S                         # elements per window
@@ -517,7 +526,8 @@ def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
     laneB = jax.lax.broadcasted_iota(jnp.int32, (BD, 128), 1)
     p = rowB * 128 + laneB
     term = 1 - (_lsr(byte, 7) & 1)
-    e_excl, _ = _prefixc(term, BD, 1)                 # terms in [0,p)
+    e_excl, _ = _prefixc(term, BD, 1,                 # terms in [0,p)
+                         rowmask=vbmask_ref[:] if rowmm else None)
     # start markers: p == 0, or the previous byte terminated
     termprev = _flatshift_back(term, 1, BD) == 1
     smark = jnp.where((p == 0) | termprev, p, _NEG)
@@ -538,18 +548,25 @@ def _vb_dec_kernel(stream_hbm, out_ref, cur_scr, win_scr, sem, *,
     for j in range(K):
         val = val | jnp.where(pj[j] > 0, (bj[j] & 0x7F) << (7 * j), 0)
     out_ref[0] = pltpu.bitcast(val, jnp.uint32).reshape(GD, R, 128)
-    _, consumed = _prefixc(owned.astype(jnp.int32), BD, 1)
+    # cursor advance needs only the TOTAL owned count, not a prefix:
+    # one tree reduce instead of a second full _prefixc
+    consumed = jnp.sum(owned.astype(jnp.int32))
     cur_scr[:] = cursor + consumed
 
 
 @functools.partial(jax.jit,
                    static_argnames=("GD", "WIN", "NB", "SWrows", "K",
-                                    "interpret"))
-def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, K=5, interpret=False):
+                                    "rowmm", "interpret"))
+def _vb_dec_call(stream2, *extra, GD, WIN, NB, SWrows, K=5, rowmm=False,
+                 interpret=False):
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if rowmm:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_vb_dec_kernel, GD=GD, WIN=WIN, NB=NB, K=K),
+        functools.partial(_vb_dec_kernel, GD=GD, WIN=WIN, NB=NB, K=K,
+                          rowmm=rowmm),
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, GD, _R_DEC, 128),
                                lambda bl: (bl, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -561,7 +578,7 @@ def _vb_dec_call(stream2, *, GD, WIN, NB, SWrows, K=5, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(stream2)
+    )(stream2, *extra)
     return out.reshape(NB * GD, _S_DEC)
 
 
@@ -635,9 +652,15 @@ def vbyte_stage(data: np.ndarray, n: int, *, GD: int = 8,
     buf = np.zeros(nbytes, dtype=np.uint8)
     buf[: len(data)] = data
     stream2 = jnp.asarray(buf.view("<i4").reshape(-1, 128))
-    return (stream2,), dict(GD=GD, WIN=WIN, NB=NB,
-                            SWrows=stream2.shape[0], K=K,
-                            interpret=interpret)
+    args = (stream2,)
+    rowmm = os.environ.get("ANS_TPU_VB_ROWMM", "0") not in ("", "0")
+    if rowmm:
+        BD = 4 * WIN
+        tri = np.tril(np.ones((BD, BD), dtype=np.float32))
+        args += (jnp.asarray(tri),)
+    return args, dict(GD=GD, WIN=WIN, NB=NB,
+                      SWrows=stream2.shape[0], K=K, rowmm=rowmm,
+                      interpret=interpret)
 
 
 def vbyte_decode(data: np.ndarray, n: int, *, GD: int = 8,

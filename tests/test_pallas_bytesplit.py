@@ -78,6 +78,20 @@ def test_vbyte_decode_every_target_density(kmax):
                                   x)
 
 
+def test_vbyte_decode_rowmm(monkeypatch):
+    """ANS_TPU_VB_ROWMM: the terminator prefix's row pass as a hoisted
+    tri-mask MXU matmul must be value-identical to the roll rounds."""
+    monkeypatch.setenv("ANS_TPU_VB_ROWMM", "1")
+    n = 50000
+    x = _mixed(np.random.default_rng(n + 2), n)
+    ref, total = bs.vbyte_encode(jnp.asarray(x))
+    args, kw = pb.vbyte_stage(np.asarray(ref[: int(total)]), n, GD=2,
+                              interpret=True)
+    assert kw["rowmm"] and len(args) == 2
+    out = pb._vb_dec_call(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n], x)
+
+
 def test_vbyte_decode_window_alignment():
     """All-5-byte values stress the window/base normalization (cursor
     lands mid-row constantly)."""

@@ -30,3 +30,8 @@ tail -12 /tmp/full_bench_r3.log
 #    check whether the decode optimum moved past S=4096
 timeout 3600 python -u tools/ab_rowmm.py --lanes 8192 > /tmp/ab_s8192.log 2>&1
 tail -4 /tmp/ab_s8192.log
+
+# 7. vbyte terminator-prefix row pass A/B (ANS_TPU_VB_ROWMM) + the
+#    cursor-total reduce (always on); flip the default if >1.02x
+timeout 3600 python -u tools/ab_vb_rowmm.py > /tmp/ab_vb_rowmm.log 2>&1
+tail -4 /tmp/ab_vb_rowmm.log
