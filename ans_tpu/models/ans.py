@@ -21,7 +21,8 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import MSB_MAX_SIGMA, fold_max_sigma, fold_threshold
+from ..constants import (A_MAX_FRAME_LOG2, MSB_MAX_SIGMA, fold_max_sigma,
+                         fold_threshold)
 from ..ops import lane_codec, mappings_jax as mj, tables
 from ..reference_model import mappings as map_np
 from ..reference_model.model import (adjust_freqs, load_prelude,
@@ -36,6 +37,18 @@ U32 = jnp.uint32
 # sigma, not the frame, so the round-1 2^14 cap is no longer needed;
 # pass max_frame to trade size for smaller tables explicitly)
 DEFAULT_MAX_FRAME = None
+
+# the lane format's own frame ceiling (renorm byte-needs must be
+# computable before reading: log2m + 8 <= log2 L + 2, constants.py).
+# None means "honest search, bounded only by what the format can
+# represent" — without this clamp zipf-2^20-shaped data (honest frame
+# 2^23) raises at encode; WITH it the search stops one doubling early
+# and costs ~0.1% bpi.  The compat engine stays truly uncapped.
+LANE_FRAME_LIMIT = 1 << A_MAX_FRAME_LOG2
+
+
+def lane_frame_cap(max_frame: int | None) -> int:
+    return LANE_FRAME_LIMIT if max_frame is None else max_frame
 
 
 # --------------------------------------------------------------------------
@@ -163,7 +176,7 @@ class AnsInt:
         max_sym = int(values.max())
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
         nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
-                              self.max_frame)
+                              lane_frame_cap(self.max_frame))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         layout = _maybe_layout(nfreqs)
@@ -212,7 +225,7 @@ class AnsMsb:
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
-                              self.max_frame)
+                              lane_frame_cap(self.max_frame))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
@@ -264,7 +277,7 @@ class AnsFold:
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
-                              self.max_frame)
+                              lane_frame_cap(self.max_frame))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,
@@ -311,7 +324,7 @@ class AnsReorderFold:
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
-                              self.max_frame)
+                              lane_frame_cap(self.max_frame))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         t1 = time.perf_counter_ns()
         stream = _encode_stream(mapped, k, b, len(values), nfreqs,

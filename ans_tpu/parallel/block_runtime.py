@@ -333,8 +333,9 @@ class BlockCodec:
             freqs = freqs.copy()
             freqs[self._padding_symbol()] -= D * B - n
         max_sym = int(np.flatnonzero(freqs)[-1])
+        from ..models.ans import lane_frame_cap
         nfreqs = adjust_freqs(freqs, max_sym, self.kind != "int",
-                              self.h_approx)
+                              self.h_approx, lane_frame_cap(None))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
         from ..ops import grouped as grouped_mod
         layout = (grouped_mod.build_group_layout(nfreqs)

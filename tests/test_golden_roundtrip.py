@@ -68,6 +68,30 @@ def test_h_approx_shrinks_frame(datasets):
     assert m320 <= m1
 
 
+def test_lane_frame_cap_clamps_honest_search():
+    """zipf-2^20-shaped histograms drive the honest adjust_freqs search
+    past the lane format's 2^22 frame ceiling; lane codecs clamp
+    max_frame=None to the ceiling instead of raising at encode (the
+    compat engine stays truly uncapped).  Clamp is a no-op when the
+    honest frame already fits."""
+    from ans_tpu.models.ans import LANE_FRAME_LIMIT, lane_frame_cap
+    from ans_tpu.reference_model.model import adjust_freqs
+    # heavy head + a huge tail of singletons: honest frame > 2^22
+    freqs = np.ones(1 << 20, dtype=np.uint64)
+    freqs[:64] = 1 << 19
+    honest = int(adjust_freqs(freqs, len(freqs) - 1, False, 1).sum())
+    assert honest > LANE_FRAME_LIMIT
+    capped = adjust_freqs(freqs, len(freqs) - 1, False, 1,
+                          lane_frame_cap(None))
+    assert int(capped.sum()) == LANE_FRAME_LIMIT
+    # no-op below the ceiling
+    small = np.ones(256, dtype=np.uint64)
+    a = adjust_freqs(small, 255, False, 1)
+    b = adjust_freqs(small, 255, False, 1, lane_frame_cap(None))
+    np.testing.assert_array_equal(a, b)
+    assert lane_frame_cap(1 << 14) == 1 << 14
+
+
 def test_rfold_identity_mode_with_large_values():
     """Small alphabet + values >= fold threshold: the reference decoder
     mis-decodes this (ans_reorder_fold.hpp:288-302); we fix it."""

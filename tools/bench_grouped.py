@@ -124,7 +124,9 @@ def main():
                 freqs = np.bincount(values).astype(np.uint64)
                 u16 = False
             max_sym = int(np.flatnonzero(freqs)[-1])
-            nfreqs_e = adjust_freqs(freqs, max_sym, u16, 1, None)
+            from ans_tpu.models.ans import lane_frame_cap
+            nfreqs_e = adjust_freqs(freqs, max_sym, u16, 1,
+                                    lane_frame_cap(None))
             lay_e = _maybe_layout(nfreqs_e)
             et = tables.build_enc_table(nfreqs_e, lay_e)
             S = args.lanes
