@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from ..constants import A_MAX_FRAME_LOG2
-
 
 def next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
@@ -33,6 +31,3 @@ def default_lane_count(n: int, min_lanes: int = 32,
     if n <= 0:
         return min_lanes
     return min(max_lanes, max(min_lanes, next_pow2(-(-n // 12800))))
-
-
-MAX_FRAME = 1 << A_MAX_FRAME_LOG2

@@ -692,28 +692,13 @@ def decode(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
 
 
 def _lookup_acc(rows, idx, Mr, B, chunk=16):
-    """_lookup with bounded live memory: terms OR-tree-combined in
-    chunks of `chunk` rows and accumulated sequentially, so the scoped
-    VMEM stays ~chunk*(B,128) instead of Mr*(B,128).  Required for the
-    sigma-sized plane scans: zipf-2^20's value planes are ~5000 rows,
-    and Mosaic scopes every masked term of a plain _lookup (measured
-    OOM at 40 rows x (256,128) on the encode side, choose_g)."""
-    lo = idx & 127
-    hi = idx >> 7
-    acc = None
-    for c0 in range(0, Mr, chunk):
-        terms = []
-        for h in range(c0, min(c0 + chunk, Mr)):
-            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
-            y = jnp.take_along_axis(row, lo, axis=1)
-            terms.append(jnp.where(hi == h, y, 0))
-        while len(terms) > 1:
-            nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
-            if len(terms) & 1:
-                nxt.append(terms[-1])
-            terms = nxt
-        acc = terms[0] if acc is None else acc | terms[0]
-    return acc
+    """_lookup with bounded live memory: the single-table case of
+    _lookup_multi (chunk-accumulated, scoped VMEM ~chunk*(B,128)
+    instead of Mr*(B,128)).  Required for the sigma-sized plane scans:
+    zipf-2^20's value planes are ~5000 rows, and Mosaic scopes every
+    masked term of a plain _lookup (measured OOM at 40 rows x (256,128)
+    on the encode side, choose_g)."""
+    return _lookup_multi((rows,), idx, Mr, B, chunk)[0]
 
 
 def _lookup_multi(tables_, idx, Mr, B, chunk=16):

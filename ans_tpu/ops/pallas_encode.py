@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _lookup_multi
+from .pallas_decode import _lookup_acc, _lookup_multi
 from .tables import A_L
 
 _lsr = jax.lax.shift_right_logical
@@ -73,29 +73,6 @@ def _mulhi32(a, b):
     mid2 = a0 * b1
     cross = _lsr(lo, 16) + (mid1 & 0xFFFF) + (mid2 & 0xFFFF)
     return a1 * b1 + _lsr(mid1, 16) + _lsr(mid2, 16) + _lsr(cross, 16)
-
-
-def _lookup_acc(rows, idx, Mr, B, chunk=16):
-    """_lookup with bounded live memory: terms are OR-tree-combined in
-    chunks of `chunk` rows and accumulated sequentially, so the scoped
-    VMEM stays ~chunk*(B,128) instead of Mr*(B,128) — needed for the
-    large value->rank plane scans (hundreds of rows over (G*R,128))."""
-    lo = idx & 127
-    hi = idx >> 7
-    acc = None
-    for c0 in range(0, Mr, chunk):
-        terms = []
-        for h in range(c0, min(c0 + chunk, Mr)):
-            row = jnp.broadcast_to(rows[h:h + 1, :], (B, 128))
-            y = jnp.take_along_axis(row, lo, axis=1)
-            terms.append(jnp.where(hi == h, y, 0))
-        while len(terms) > 1:
-            nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
-            if len(terms) & 1:
-                nxt.append(terms[-1])
-            terms = nxt
-        acc = terms[0] if acc is None else acc | terms[0]
-    return acc
 
 
 def _plane_lookup_acc(rows_arr, idx, nrows, bits, B):

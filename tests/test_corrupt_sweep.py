@@ -37,8 +37,15 @@ def _mutations(blob: bytes):
                 yield bytes(m)
 
 
-@pytest.mark.parametrize("name", METHODS)
-@pytest.mark.parametrize("engine", ["compat", "lane"])
+# the engine argument only changes codec resolution for the ANS*
+# lane/compat families; host methods return the identical object for
+# both, so sweeping them twice adds minutes for zero coverage
+CASES = [(n, e) for n in METHODS
+         for e in (("compat", "lane") if n.startswith("ANS") else
+                   ("compat",))]
+
+
+@pytest.mark.parametrize("name,engine", CASES)
 def test_corrupt_wire_never_crashes(name, engine):
     rng = np.random.default_rng(0)
     data = np.minimum(rng.zipf(1.3, size=500), 1 << 20).astype(np.uint32)
