@@ -94,7 +94,9 @@ def _fail(kind: str, detail: str, waited: float | None = None) -> None:
     }))
     sys.exit(2)
 
-N = 1 << 25
+# ANS_TPU_BENCH_N: dry-run override (CPU smoke of the full capture
+# logic without the chip); the real capture always uses the default.
+N = int(os.environ.get("ANS_TPU_BENCH_N", str(1 << 25)))
 SEED = 42
 NUM_RUNS = 5
 METHOD = "ANSfold-2"
@@ -227,7 +229,7 @@ def main():
 
     print(json.dumps({
         "metric": f"{METHOD} decode ints/sec, device-resident lane "
-                  f"engine, honest frame (zipf-1.25 n=2^25, "
+                  f"engine, honest frame (zipf-1.25 n=2^{N.bit_length() - 1}, "
                   f"{jax.default_backend()}, pallas pivot-search)",
         "value": round(dec_ips),
         "unit": "ints/sec",
