@@ -21,7 +21,7 @@ import pathlib
 import numpy as np
 import pytest
 
-from ans_tpu.reference_model import model, rans_compat as rc
+from ans_tpu.reference_model import model, parity, rans_compat as rc
 
 FIX = pathlib.Path(__file__).parent / "fixtures"
 
@@ -39,18 +39,6 @@ CODECS = {
     "sint80": lambda: rc.AnsSint(80),
     "smsb80": lambda: rc.AnsSmsb(80),
 }
-
-
-def _prelude_padding_span(method: str, blob: bytes):
-    """Byte range [a, b) of the final interp-prelude word (the only place
-    our bytes may legitimately differ from the reference's)."""
-    off = 0
-    if method.startswith("rfold"):
-        fidelity = int(method[5:])
-        flag = int.from_bytes(blob[0:4], "little")
-        off = 4 + (4 << (fidelity + 7) if flag == 1 else 0)
-    _, plen = model.load_prelude(blob[off:])
-    return off + plen - 4, off + plen
 
 
 def _cases():
@@ -77,12 +65,7 @@ def test_parity(case):
 
     codec = CODECS[method]()
     mine = codec.encode(data)
-    assert len(mine) == len(ref), f"{case}: size {len(mine)} != {len(ref)}"
-    diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
-    if diffs:
-        a, b = _prelude_padding_span(method, mine)
-        assert all(a <= d < b for d in diffs), (
-            f"{case}: non-padding mismatch at {diffs[:5]} (padding [{a},{b}))")
+    parity.assert_blob_parity(method, mine, ref)
     # cross-decode the reference's own bytes
     out = codec.decode(ref, len(data))
     np.testing.assert_array_equal(out, data)
