@@ -82,3 +82,29 @@ def get(name: str, engine: str = "lane"):
     if name not in reg:
         raise KeyError(f"unknown method {name!r}; known: {sorted(reg)}")
     return reg[name]()
+
+
+def prepare_decoder(name: str, blob: bytes, n: int, *, TC: int = 128,
+                    engine: str | None = None, interpret: bool = False):
+    """Stage a lane-format blob for repeated device decodes: parses the
+    wire prelude, rebuilds the decode table the same way `decode()`
+    does, and returns a models.engine.PreparedDecoder (the production
+    serving pattern — tables + stream live in HBM, each call runs only
+    the kernel).  engine/interpret are harness knobs (forced Pallas
+    engine / interpreter mode); production callers pass neither."""
+    if name not in _LANE:
+        raise KeyError(f"{name!r} is not a lane-format ANS method")
+    from ..ops import lane_codec
+    from . import framing
+    from .engine import PreparedDecoder
+    codec = _LANE[name]()
+    # NB: the builtin `bytes` is shadowed here by the models.bytes
+    # submodule (package __init__ namespace), hence memoryview
+    blob = memoryview(blob).tobytes()
+    dt, off = codec._dec_table(blob)
+    S, states, payload, t_sec, sec_len = framing.parse(blob, off)
+    T = lane_codec.lane_steps(n, S)
+    return PreparedDecoder(payload, states, dt, n, S=S, T=T,
+                           has_exc=dt.has_exc, t_sec=t_sec,
+                           sec_len=sec_len, TC=TC, engine=engine,
+                           interpret=interpret)

@@ -190,12 +190,18 @@ class AnsInt:
                      encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
-    def decode(self, buf: bytes, n: int) -> np.ndarray:
+    def _dec_table(self, buf: bytes):
+        """(DecTable, stream offset) parsed from the wire prelude —
+        the decode half shared by decode() and prepare_decoder()."""
         nfreqs, plen = load_prelude(buf)
         layout = _maybe_layout(nfreqs)
         dt = tables.build_dec_table(nfreqs, layout=layout,
                                     slots=layout is None)
-        return _decode_stream(buf, plen, n, dt)
+        return dt, plen
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        dt, off = self._dec_table(buf)
+        return _decode_stream(buf, off, n, dt)
 
 
 class AnsSint(AnsInt):
@@ -235,7 +241,7 @@ class AnsMsb:
                      encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
-    def decode(self, buf: bytes, n: int) -> np.ndarray:
+    def _dec_table(self, buf: bytes):
         nfreqs, plen = load_prelude(buf)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         layout = _maybe_layout(nfreqs)
@@ -243,7 +249,11 @@ class AnsMsb:
                                     map_np.msb_unmap_high(syms),
                                     map_np.msb_exception_bytes(syms),
                                     layout=layout, slots=layout is None)
-        return _decode_stream(buf, plen, n, dt)
+        return dt, plen
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        dt, off = self._dec_table(buf)
+        return _decode_stream(buf, off, n, dt)
 
 
 class AnsSmsb(AnsMsb):
@@ -287,14 +297,18 @@ class AnsFold:
                      encode_time_ns=time.perf_counter_ns() - t1)
         return prelude + stream
 
-    def decode(self, buf: bytes, n: int) -> np.ndarray:
+    def _dec_table(self, buf: bytes):
         nfreqs, plen = load_prelude(buf)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
         high, nb = map_np.fold_unmap_high(syms, self.fidelity)
         layout = _maybe_layout(nfreqs)
         dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
                                     slots=layout is None)
-        return _decode_stream(buf, plen, n, dt)
+        return dt, plen
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        dt, off = self._dec_table(buf)
+        return _decode_stream(buf, off, n, dt)
 
 
 class AnsReorderFold:
@@ -335,7 +349,7 @@ class AnsReorderFold:
                      encode_time_ns=time.perf_counter_ns() - t1)
         return bytes(header) + prelude + stream
 
-    def decode(self, buf: bytes, n: int) -> np.ndarray:
+    def _dec_table(self, buf: bytes):
         f = self.fidelity
         thres = fold_threshold(f)
         do_reorder = int.from_bytes(buf[0:4], "little")
@@ -356,4 +370,8 @@ class AnsReorderFold:
         layout = _maybe_layout(nfreqs)
         dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
                                     slots=layout is None)
-        return _decode_stream(buf, pos + plen, n, dt)
+        return dt, pos + plen
+
+    def decode(self, buf: bytes, n: int) -> np.ndarray:
+        dt, off = self._dec_table(buf)
+        return _decode_stream(buf, off, n, dt)

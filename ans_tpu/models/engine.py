@@ -167,21 +167,35 @@ def choose_decode_engine(dt: tables.DecTable, S: int) -> str:
 
 
 class PreparedDecoder:
-    """All decode inputs staged on device; call to run the kernel."""
+    """All decode inputs staged on device; call to run the kernel.
+
+    engine/interpret are harness knobs (tools/fuzz_lane.py, kernel
+    tests): an explicit engine bypasses choose_decode_engine — the
+    caller owns eligibility — and interpret=True runs the Pallas
+    kernels in interpreter mode on any backend.  Production callers
+    pass neither."""
 
     def __init__(self, payload: np.ndarray, states: np.ndarray,
                  dt: tables.DecTable, n: int, *, S: int, T: int,
-                 has_exc: bool, t_sec: int, sec_len, TC: int = 128):
+                 has_exc: bool, t_sec: int, sec_len, TC: int = 128,
+                 engine: str | None = None, interpret: bool = False):
         self.n, self.S, self.T = n, S, T
-        self.engine = (choose_decode_engine(dt, S) if t_sec is not None
-                       else "xla")
+        if engine is not None:
+            if engine != "xla" and (S < 128 or S % 128):
+                raise ValueError(
+                    f"forced engine {engine!r} needs S to fill whole "
+                    f"vector rows (multiple of 128, got S={S})")
+            self.engine = engine
+        else:
+            self.engine = (choose_decode_engine(dt, S)
+                           if t_sec is not None else "xla")
         if self.engine == "grouped":
             from ..ops import grouped, pallas_decode
             gt = grouped.build_group_table(dt.layout, dt.sym_high,
                                            dt.sym_nb)
             (self._args, self._kw) = pallas_decode.stage_grouped(
                 payload, states, gt, n, S=S, T=T, t_sec=t_sec,
-                sec_len=sec_len, TC=TC)
+                sec_len=sec_len, TC=TC, interpret=interpret)
             self._fn = pallas_decode._call_grouped
         elif self.engine == "search":
             from ..ops import pallas_decode
@@ -189,14 +203,15 @@ class PreparedDecoder:
                                            dt.sym_nb)
             (self._args, self._kw) = pallas_decode.stage_search(
                 payload, states, st, n, S=S, T=T, t_sec=t_sec,
-                sec_len=sec_len, TC=TC)
+                sec_len=sec_len, TC=TC, interpret=interpret)
             self._fn = pallas_decode._call_search
         elif self.engine == "direct":
             from ..ops import pallas_decode
             dt = tables.materialize_slots(dt)
             (self._args, self._kw) = pallas_decode.stage(
                 payload, states, dt, n, S=S, T=T, has_exc=has_exc,
-                t_sec=t_sec, sec_len=sec_len, TC=TC)
+                t_sec=t_sec, sec_len=sec_len, TC=TC,
+                interpret=interpret)
             self._fn = pallas_decode._call
         else:
             dt = tables.materialize_slots(dt)

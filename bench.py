@@ -132,12 +132,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ans_tpu.models import framing
+    from ans_tpu import models
     from ans_tpu.models.ans import AnsFold, lane_frame_cap
-    from ans_tpu.models.engine import PreparedDecoder, PreparedEncoder
-    from ans_tpu.ops import lane_codec, mappings_jax as mj, tables
-    from ans_tpu.reference_model import mappings as map_np
-    from ans_tpu.reference_model.model import adjust_freqs, load_prelude
+    from ans_tpu.models.engine import PreparedEncoder
+    from ans_tpu.ops import mappings_jax as mj, tables
+    from ans_tpu.reference_model.model import adjust_freqs
 
     data = make_data()
     codec = AnsFold(2, lanes=LANES, max_frame=None)
@@ -147,17 +146,10 @@ def main():
     bpi = 8.0 * len(blob) / N
 
     # decode: stage once, run the pivot-search kernel
-    nfreqs, plen = load_prelude(blob)
-    syms = np.arange(len(nfreqs), dtype=np.uint32)
-    high, nb = map_np.fold_unmap_high(syms, 2)
-    dt = tables.build_dec_table(nfreqs, high, nb)
-    S, states, payload, t_sec, sec_len = framing.parse(blob, plen)
-    T = lane_codec.lane_steps(N, S)
-    prep = PreparedDecoder(payload, states, dt, N, S=S, T=T,
-                           has_exc=True, t_sec=t_sec, sec_len=sec_len,
-                           TC=TC)
+    prep = models.prepare_decoder(METHOD, blob, N, TC=TC)
     prep().block_until_ready()
     dec_ips = N / _time(lambda: prep().block_until_ready())
+    S, T = prep.S, prep.T
 
     # encode: device-resident scan + placement
     from ans_tpu.constants import fold_max_sigma
@@ -192,21 +184,13 @@ def main():
     # here must not void the headline capture.
     big = {}
     try:
-        from ans_tpu.models.ans import AnsInt, _maybe_layout
+        from ans_tpu.models.ans import AnsInt
         from ans_tpu.utils import zipf as _zipf
         zdata = _zipf.zipf(np.random.default_rng(0), N, 1 << 20)
         bcodec = AnsInt(lanes=LANES)
         bblob = bcodec.encode(zdata)
         assert (bcodec.decode(bblob, N) == zdata).all()
-        nfq, bplen = load_prelude(bblob)
-        lay = _maybe_layout(nfq)
-        bdt = tables.build_dec_table(nfq, layout=lay,
-                                     slots=lay is None)
-        Sb, bstates, bpay, bt_sec, bsec_len = framing.parse(bblob, bplen)
-        bprep = PreparedDecoder(bpay, bstates, bdt, N, S=Sb,
-                                T=lane_codec.lane_steps(N, Sb),
-                                has_exc=False, t_sec=bt_sec,
-                                sec_len=bsec_len, TC=TC)
+        bprep = models.prepare_decoder("ANS", bblob, N, TC=TC)
         bprep().block_until_ready()
         bd_ips = N / _time(lambda: bprep().block_until_ready())
         bm = (json.load(open(bp)).get("large_alphabet", {})

@@ -60,14 +60,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ans_tpu.models import framing
     from ans_tpu.models.ans import _maybe_layout
-    from ans_tpu.models.engine import PreparedDecoder, PreparedEncoder
+    from ans_tpu.models.engine import PreparedEncoder
     from ans_tpu.ops import grouped, lane_codec, tables
     from ans_tpu.ops import mappings_jax as mj
     from ans_tpu.constants import MSB_MAX_SIGMA
-    from ans_tpu.reference_model import mappings as map_np
-    from ans_tpu.reference_model.model import adjust_freqs, load_prelude
+    from ans_tpu.reference_model.model import adjust_freqs
 
     n = 1 << args.n
     data = datasets(n)
@@ -92,22 +90,7 @@ def main():
             bpi = 8 * len(blob) / n
 
             # --- device-resident decode -------------------------------
-            nfreqs, plen = load_prelude(blob)
-            layout = _maybe_layout(nfreqs)
-            syms = np.arange(len(nfreqs), dtype=np.uint32)
-            if method == "ANSmsb":
-                dt = tables.build_dec_table(
-                    nfreqs, map_np.msb_unmap_high(syms),
-                    map_np.msb_exception_bytes(syms), layout=layout,
-                    slots=layout is None)
-            else:
-                dt = tables.build_dec_table(nfreqs, layout=layout,
-                                            slots=layout is None)
-            S, states, payload, t_sec, sec_len = framing.parse(blob, plen)
-            prep = PreparedDecoder(payload, states, dt, n, S=S,
-                                   T=lane_codec.lane_steps(n, S),
-                                   has_exc=dt.has_exc, t_sec=t_sec,
-                                   sec_len=sec_len)
+            prep = models.prepare_decoder(method, blob, n)
             prep().block_until_ready()
             best = min(_t(lambda: prep().block_until_ready())
                        for _ in range(args.runs))
@@ -160,7 +143,7 @@ def main():
                 "ANSmsb" if method == "ANSmsb" else "ANS", {})
             row = dict(
                 method=method, dataset=dname, ok=ok,
-                sigma=int(np.count_nonzero(nfreqs)),
+                sigma=int(np.count_nonzero(nfreqs_e)),
                 engine=prep.engine, bpi=round(bpi, 4),
                 cpp_bpi=bm.get("bpi"),
                 dev_decode_mips=round(dec_ips / 1e6, 1),
