@@ -32,6 +32,18 @@ def prelude_padding_span(method: str, blob: bytes) -> tuple[int, int]:
     return off + plen - 4, off + plen
 
 
+def assert_byte_blob_parity(mine: bytes, ref: bytes) -> None:
+    """ans_byte wire: the prelude is a raw interp block, so the only
+    legitimate difference is within the single (final interp) word
+    containing the first diff — the same check the fixture test uses."""
+    assert len(mine) == len(ref), f"byte: size {len(mine)} != {len(ref)}"
+    diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
+    if diffs:
+        word_end = 4 * (diffs[0] // 4 + 1)
+        bad = [d for d in diffs if d >= word_end]
+        assert not bad, f"byte: non-padding mismatch at {bad[:5]}"
+
+
 def assert_blob_parity(method: str, mine: bytes, ref: bytes) -> None:
     """Raise AssertionError unless the two blobs are byte-identical
     outside the prelude-padding span."""

@@ -60,6 +60,8 @@ def build_ref_dump() -> str:
 
 
 def our_codec(method: str):
+    if method == "byte":
+        return rc.AnsByte()
     if method == "int":
         return rc.AnsInt()
     if method == "msb":
@@ -148,6 +150,8 @@ def ref_decode(method, blob, n, tmp):
 
 def run_case(method, name, data, tmp):
     """Returns 'ok' | 'ref-defect' (our codec self-checked) | raises."""
+    if method == "byte":
+        return _run_byte_case(name, data, tmp)
     n = len(data)
     try:
         blob_ref = ref_encode(method, data, tmp)
@@ -173,11 +177,44 @@ def run_case(method, name, data, tmp):
     return "ok"
 
 
+def _run_byte_case(name, data, tmp):
+    """ans_byte codes the low byte of every value (ref_dump mirrors
+    methods.hpp's u8 usage); decode returns u32s of those bytes."""
+    n = len(data)
+    lo = (data & 0xFF).astype(np.uint8)
+    if len(np.unique(lo)) < 2:
+        lo[0] ^= 1  # the reference hangs on single-symbol alphabets
+        data = data.copy()
+        data[0] = (data[0] & ~np.uint32(0xFF)) | lo[0]
+    payload = lo.tobytes()
+    codec = rc.AnsByte()
+    try:
+        blob_ref = ref_encode("byte", data, tmp)
+        rt = ref_decode("byte", blob_ref, n, tmp)
+        ref_self_ok = bool((rt.astype(np.uint8) == lo).all())
+    except (RuntimeError, subprocess.TimeoutExpired):
+        ref_self_ok = False
+    if not ref_self_ok:
+        mine = codec.encode(payload)
+        assert codec.decode(mine, n) == payload, f"byte {name} (ours)"
+        return "ref-defect"
+    mine = codec.encode(payload)
+    parity.assert_byte_blob_parity(bytes(mine), blob_ref)
+    assert codec.decode(blob_ref, n) == payload, \
+        f"byte {name}: our decode of the reference blob"
+    rt2 = ref_decode("byte", bytes(mine), n, tmp)
+    np.testing.assert_array_equal(
+        rt2.astype(np.uint8), lo,
+        err_msg=f"byte {name}: reference decode of our blob")
+    return "ok"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--methods", default=",".join(parity.METHODS))
+    ap.add_argument("--methods",
+                    default=",".join(parity.METHODS + ["byte"]))
     ap.add_argument("--keep-going", action="store_true")
     args = ap.parse_args()
     build_ref_dump()
