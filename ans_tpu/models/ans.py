@@ -56,7 +56,7 @@ def lane_frame_cap(max_frame: int | None) -> int:
 # --------------------------------------------------------------------------
 
 def _finish_pallas_encode(packed, states, nb_ts, excb_ts, n, et, *,
-                          S, T, has_exc) -> bytes:
+                          S, T, has_exc, interpret=False) -> bytes:
     from ..ops import pallas_place
     packed = packed[:T]
     round_base, total = lane_codec.encode_totals(
@@ -69,7 +69,8 @@ def _finish_pallas_encode(packed, states, nb_ts, excb_ts, n, et, *,
     tc_max = 128 if S <= 2048 else (64 if S <= 4096 else 32)
     secs = pallas_place.place(packed, nb_ts, excb_ts, jnp.int32(n),
                               S=S, T=T, t_sec=t_sec, sec_len=sec_len,
-                              NR=NR, NE=NE, tc_max=tc_max)
+                              NR=NR, NE=NE, tc_max=tc_max,
+                              interpret=interpret)
     stream = pallas_place.sections_to_stream(np.asarray(secs), sec_len)
     return framing.pack(np.asarray(states).view(np.uint32), stream,
                         t_sec, sec_len)
@@ -97,6 +98,7 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
         nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
         excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
     from . import engine as _engine
+    itp = _engine.interpret_env()
     if layout is not None and _engine.encode_grouped_ok(et, S, layout):
         from ..ops import grouped, pallas_encode
         if raw_host is not None:
@@ -107,18 +109,21 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
             syms_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
             vr = grouped.pack_planes(layout.rank_of)
         packed, states, _ = pallas_encode.encode_scan_grouped(
-            syms_ts, jnp.int32(n), layout, S=S, T=T, vr_planes=vr)
+            syms_ts, jnp.int32(n), layout, S=S, T=T, vr_planes=vr,
+            interpret=itp)
         return _finish_pallas_encode(packed, states, nb_ts, excb_ts, n,
                                      et, S=S, T=T,
-                                     has_exc=nb_dev is not None)
+                                     has_exc=nb_dev is not None,
+                                     interpret=itp)
     mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
     if layout is None and _engine.encode_pallas_ok(et, S):
         from ..ops import pallas_encode
         packed, states, _ = pallas_encode.encode_scan(
-            mapped_ts, nb_ts, jnp.int32(n), et, S=S, T=T)
+            mapped_ts, nb_ts, jnp.int32(n), et, S=S, T=T, interpret=itp)
         return _finish_pallas_encode(packed, states, nb_ts, excb_ts, n,
                                      et, S=S, T=T,
-                                     has_exc=nb_dev is not None)
+                                     has_exc=nb_dev is not None,
+                                     interpret=itp)
     stream, total, states, step_base = lane_codec.encode_lanes(
         mapped_ts, nb_ts, excb_ts, jnp.int32(n),
         jnp.asarray(et.freq), jnp.asarray(et.base),

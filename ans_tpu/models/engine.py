@@ -29,11 +29,20 @@ from ..ops import lane_codec, tables
 PALLAS_MAX_FRAME = 1 << 16
 
 
+def interpret_env() -> bool:
+    """ANS_TPU_INTERPRET=1 runs every Pallas path in interpreter mode
+    on any backend — chip-free end-to-end fuzzing of the production
+    dispatch (tools/fuzz_lane.py).  Never set it for performance
+    work: interpreted kernels are orders of magnitude slower."""
+    return bool(os.environ.get("ANS_TPU_INTERPRET"))
+
+
 def _pallas_env_ok(S: int) -> bool:
     """Shared environment/shape gate for every Pallas lane path: not
-    disabled, a real TPU backend, and S filling whole vector rows."""
+    disabled, a real TPU backend (or forced interpreter mode), and S
+    filling whole vector rows."""
     return (not os.environ.get("ANS_TPU_NO_PALLAS")
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interpret_env())
             and S >= 128 and S % 128 == 0)
 
 
@@ -180,6 +189,7 @@ class PreparedDecoder:
                  has_exc: bool, t_sec: int, sec_len, TC: int = 128,
                  engine: str | None = None, interpret: bool = False):
         self.n, self.S, self.T = n, S, T
+        interpret = interpret or interpret_env()
         if engine is not None:
             if engine != "xla" and (S < 128 or S % 128):
                 raise ValueError(
@@ -266,6 +276,7 @@ class PreparedEncoder:
         an explicit G overrides both."""
         from ..ops import pallas_encode, pallas_place
         from . import framing
+        itp = self._interpret = interpret_env()
         if layout is not None:
             if not encode_grouped_ok(et, S, layout):
                 raise ValueError("grouped PreparedEncoder needs the "
@@ -273,11 +284,11 @@ class PreparedEncoder:
                                  "M <= 2^22, lane multiple of 128)")
             self._do_scan = lambda: pallas_encode.encode_scan_grouped(
                 self.mapped_ts, self._n32, layout, S=S, T=T, G=G,
-                vr_planes=vr_planes)
+                vr_planes=vr_planes, interpret=itp)
         elif encode_pallas_ok(et, S):
             self._do_scan = lambda: pallas_encode.encode_scan(
                 self.mapped_ts, self.nb_ts, self._n32, et, S=S, T=T,
-                G=G)
+                G=G, interpret=itp)
         else:
             raise ValueError("PreparedEncoder needs the Pallas encode "
                              "path (TPU backend, M <= 2^22, lane "
@@ -301,7 +312,8 @@ class PreparedEncoder:
         secs = self._pp.place(packed[: self.T], self.nb_ts, self.excb_ts,
                               self._n32, S=self.S, T=self.T,
                               t_sec=self.t_sec, sec_len=self.sec_len,
-                              NR=self.NR, NE=self.NE, G=self.G)
+                              NR=self.NR, NE=self.NE, G=self.G,
+                              interpret=self._interpret)
         return secs, states
 
     def to_bytes(self, secs, states) -> bytes:

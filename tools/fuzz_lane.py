@@ -49,11 +49,13 @@ def eligible_engines(dt):
 
 
 def run_case(name, case_name, data):
+    import os
+
     from ans_tpu import models
     codec = models.get(name, "lane")
     codec.lanes = 256  # small S keeps interpret mode fast
     n = len(data)
-    blob = codec.encode(data)
+    blob = codec.encode(data)  # XLA scan encode (env unset)
     out = codec.decode(blob, n)  # XLA engine on CPU
     np.testing.assert_array_equal(out, data,
                                   err_msg=f"{name} {case_name}: xla")
@@ -65,6 +67,23 @@ def run_case(name, case_name, data):
         got = prep.to_host(prep())
         np.testing.assert_array_equal(
             got, data, err_msg=f"{name} {case_name}: {eng} kernel")
+    # ANS_TPU_INTERPRET drives the PUBLIC pipeline through the Pallas
+    # encode kernels (scan + placement) and auto-chosen decode kernel —
+    # the exact production dispatch, interpreted.  The kernel encode
+    # must reproduce the XLA scan's bytes (one format, two engines).
+    if engines:
+        os.environ["ANS_TPU_INTERPRET"] = "1"
+        try:
+            kblob = codec.encode(data)
+            kout = codec.decode(kblob, n)
+        finally:
+            del os.environ["ANS_TPU_INTERPRET"]
+        np.testing.assert_array_equal(
+            kout, data, err_msg=f"{name} {case_name}: e2e kernel")
+        assert bytes(kblob) == bytes(blob), (
+            f"{name} {case_name}: kernel encode bytes differ from the "
+            f"XLA scan's (len {len(kblob)} vs {len(blob)})")
+        engines = engines + ["enc"]
     return engines
 
 
