@@ -108,3 +108,34 @@ def prepare_decoder(name: str, blob: bytes, n: int, *, TC: int = 128,
                            has_exc=dt.has_exc, t_sec=t_sec,
                            sec_len=sec_len, TC=TC, engine=engine,
                            interpret=interpret)
+
+
+def prepare_encoder(name: str, values, *, lanes: int = 4096,
+                    G: int | None = None):
+    """Stage device-resident encode for repeated runs: model build +
+    mapping (the codec's _enc_inputs half), tables, (T,S) lane staging,
+    and the section plan, returning a models.engine.PreparedEncoder.
+    Each call then runs only the scan + placement kernels (the serving
+    pattern).  `pe.prelude + pe.to_bytes(*pe())` is the full wire
+    container, identical to codec.encode(values).  Requires the Pallas
+    encode envelope (TPU backend or ANS_TPU_INTERPRET); raises
+    ValueError otherwise."""
+    if name not in _LANE:
+        raise KeyError(f"{name!r} is not a lane-format ANS method")
+    from ..ops import lane_codec, tables
+    from ..reference_model.model import serialize_prelude
+    from . import config
+    from .ans import _stage_ts
+    from .engine import PreparedEncoder
+    codec = _LANE[name]()
+    mapped, k, b, nfreqs, layout, raw, header = codec._enc_inputs(values)
+    n = int(mapped.shape[0])
+    S = config.validate_lanes(lanes) or config.default_lane_count(n)
+    T = lane_codec.lane_steps(n, S)
+    et = tables.build_enc_table(nfreqs, layout)
+    mapped_ts, nb_ts, excb_ts, vr = _stage_ts(mapped, k, b, n, S, T,
+                                              layout, raw)
+    pe = PreparedEncoder(mapped_ts, nb_ts, excb_ts, n, et, S=S, T=T,
+                         G=G, layout=layout, vr_planes=vr)
+    pe.prelude = header + serialize_prelude(nfreqs, int(nfreqs.sum()))
+    return pe

@@ -90,24 +90,12 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
     S = lanes or config.default_lane_count(n)
     T = lane_codec.lane_steps(n, S)
     et = tables.build_enc_table(nfreqs, layout)
-    pad = T * S - n
-    if nb_dev is None:
-        nb_ts = jnp.zeros((T, S), U32)
-        excb_ts = jnp.zeros((T, S, 3), jnp.uint8)
-    else:
-        nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
-        excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
     from . import engine as _engine
     itp = _engine.interpret_env()
     if layout is not None and _engine.encode_grouped_ok(et, S, layout):
-        from ..ops import grouped, pallas_encode
-        if raw_host is not None:
-            syms_ts = jnp.pad(jnp.asarray(layout.rank_of[raw_host]),
-                              (0, pad)).reshape(T, S)
-            vr = None
-        else:
-            syms_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
-            vr = grouped.pack_planes(layout.rank_of)
+        from ..ops import pallas_encode
+        syms_ts, nb_ts, excb_ts, vr = _stage_ts(
+            mapped_dev, nb_dev, excb_dev, n, S, T, layout, raw_host)
         packed, states, _ = pallas_encode.encode_scan_grouped(
             syms_ts, jnp.int32(n), layout, S=S, T=T, vr_planes=vr,
             interpret=itp)
@@ -115,7 +103,8 @@ def _encode_stream(mapped_dev, nb_dev, excb_dev, n: int, nfreqs,
                                      et, S=S, T=T,
                                      has_exc=nb_dev is not None,
                                      interpret=itp)
-    mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
+    mapped_ts, nb_ts, excb_ts, _ = _stage_ts(
+        mapped_dev, nb_dev, excb_dev, n, S, T, None, None)
     if layout is None and _engine.encode_pallas_ok(et, S):
         from ..ops import pallas_encode
         packed, states, _ = pallas_encode.encode_scan(
@@ -145,6 +134,30 @@ def _decode_stream(buf: bytes, off: int, n: int,
                           sec_len=sec_len)
 
 
+def _stage_ts(mapped_dev, nb_dev, excb_dev, n, S, T, layout, raw_host):
+    """Pad-and-reshape encode inputs to (T,S) lane order and resolve
+    the grouped rank remap (host remap for raw alphabets, packed
+    value->rank planes for device-mapped ones).  Shared by the one-shot
+    encode path and PreparedEncoder staging (models.prepare_encoder)."""
+    pad = T * S - n
+    if nb_dev is None:
+        nb_ts = jnp.zeros((T, S), U32)
+        excb_ts = jnp.zeros((T, S, 3), jnp.uint8)
+    else:
+        nb_ts = jnp.pad(nb_dev, (0, pad)).reshape(T, S)
+        excb_ts = jnp.pad(excb_dev, ((0, pad), (0, 0))).reshape(T, S, 3)
+    vr = None
+    if layout is not None and raw_host is not None:
+        mapped_ts = jnp.pad(jnp.asarray(layout.rank_of[raw_host]),
+                            (0, pad)).reshape(T, S)
+    else:
+        if layout is not None:
+            from ..ops import grouped
+            vr = grouped.pack_planes(layout.rank_of)
+        mapped_ts = jnp.pad(mapped_dev, (0, pad)).reshape(T, S)
+    return mapped_ts, nb_ts, excb_ts, vr
+
+
 def _maybe_layout(nfreqs):
     """The frequency-grouped slot layout when the prelude freqs select
     it (a format decision both coder sides derive identically)."""
@@ -152,6 +165,21 @@ def _maybe_layout(nfreqs):
     if grouped.use_grouped_layout(nfreqs):
         return grouped.build_group_layout(nfreqs)
     return None
+
+
+def _encode_via_inputs(codec, values) -> bytes:
+    """Shared encode body: model half (codec._enc_inputs) -> prelude ->
+    lane stream, with the reference's prelude/encode time split."""
+    t0 = time.perf_counter_ns()
+    mapped, k, b, nfreqs, layout, raw, header = codec._enc_inputs(values)
+    prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+    t1 = time.perf_counter_ns()
+    stream = _encode_stream(mapped, k, b, int(mapped.shape[0]), nfreqs,
+                            codec.lanes, layout=layout, raw_host=raw)
+    record_stats(prelude_bytes=len(header) + len(prelude),
+                 encode_bytes=len(stream), prelude_time_ns=t1 - t0,
+                 encode_time_ns=time.perf_counter_ns() - t1)
+    return header + prelude + stream
 
 
 def _require_nonempty(values):
@@ -174,26 +202,23 @@ class AnsInt:
         self.max_frame = max_frame
         self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
 
-    def encode(self, values) -> bytes:
+    def _enc_inputs(self, values):
+        """(mapped_dev, nb_dev, excb_dev, nfreqs, layout, raw_host,
+        header) — the model/mapping half of encode(), shared with
+        models.prepare_encoder.  raw_host: host values for the grouped
+        branch's O(n) rank remap (ranks upload instead of values —
+        never both, the relay is slow)."""
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
-        t0 = time.perf_counter_ns()
         max_sym = int(values.max())
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
         nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
-        t1 = time.perf_counter_ns()
-        layout = _maybe_layout(nfreqs)
-        # host array both ways: the grouped branch uploads ranks, the
-        # others pad-and-upload values — never both (the relay is slow)
-        stream = _encode_stream(values, None, None,
-                                len(values), nfreqs, self.lanes,
-                                layout=layout, raw_host=values)
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
-                     prelude_time_ns=t1 - t0,
-                     encode_time_ns=time.perf_counter_ns() - t1)
-        return prelude + stream
+        return (values, None, None, nfreqs, _maybe_layout(nfreqs),
+                values, b"")
+
+    def encode(self, values) -> bytes:
+        return _encode_via_inputs(self, values)
 
     def _dec_table(self, buf: bytes):
         """(DecTable, stream offset) parsed from the wire prelude —
@@ -227,24 +252,19 @@ class AnsMsb:
         self.max_frame = max_frame
         self.name = "ANSmsb" if h_approx == 1 else f"ANSsmsb-{h_approx}"
 
-    def encode(self, values) -> bytes:
+    def _enc_inputs(self, values):
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
-        t0 = time.perf_counter_ns()
         mapped, k, b, hist = mj.msb_map_hist(jnp.asarray(values),
                                              length=MSB_MAX_SIGMA)
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
-        t1 = time.perf_counter_ns()
-        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes, layout=_maybe_layout(nfreqs))
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
-                     prelude_time_ns=t1 - t0,
-                     encode_time_ns=time.perf_counter_ns() - t1)
-        return prelude + stream
+        return mapped, k, b, nfreqs, _maybe_layout(nfreqs), None, b""
+
+    def encode(self, values) -> bytes:
+        return _encode_via_inputs(self, values)
 
     def _dec_table(self, buf: bytes):
         nfreqs, plen = load_prelude(buf)
@@ -282,25 +302,20 @@ class AnsFold:
         self.max_frame = max_frame
         self.name = f"ANSfold-{fidelity}"
 
-    def encode(self, values) -> bytes:
+    def _enc_inputs(self, values):
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
-        t0 = time.perf_counter_ns()
-        sigma_cap = fold_max_sigma(self.fidelity)
         mapped, k, b, hist = mj.fold_map_hist(
-            jnp.asarray(values), fidelity=self.fidelity, length=sigma_cap)
+            jnp.asarray(values), fidelity=self.fidelity,
+            length=fold_max_sigma(self.fidelity))
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
-        t1 = time.perf_counter_ns()
-        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes, layout=_maybe_layout(nfreqs))
-        record_stats(prelude_bytes=len(prelude), encode_bytes=len(stream),
-                     prelude_time_ns=t1 - t0,
-                     encode_time_ns=time.perf_counter_ns() - t1)
-        return prelude + stream
+        return mapped, k, b, nfreqs, _maybe_layout(nfreqs), None, b""
+
+    def encode(self, values) -> bytes:
+        return _encode_via_inputs(self, values)
 
     def _dec_table(self, buf: bytes):
         nfreqs, plen = load_prelude(buf)
@@ -330,29 +345,23 @@ class AnsReorderFold:
         self.max_frame = max_frame
         self.name = f"ANSrfold-{fidelity}"
 
-    def encode(self, values) -> bytes:
+    def _enc_inputs(self, values):
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
-        t0 = time.perf_counter_ns()
         f = self.fidelity
         remapped_np, header = map_np.craft_reorder(values, f)
-        remapped = jnp.asarray(remapped_np)
-        sigma_cap = fold_max_sigma(f)
-        mapped, k, b, hist = mj.fold_map_hist(remapped, fidelity=f,
-                                              length=sigma_cap)
+        mapped, k, b, hist = mj.fold_map_hist(
+            jnp.asarray(remapped_np), fidelity=f,
+            length=fold_max_sigma(f))
         freqs = np.asarray(hist).astype(np.uint64)
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
-        t1 = time.perf_counter_ns()
-        stream = _encode_stream(mapped, k, b, len(values), nfreqs,
-                                self.lanes, layout=_maybe_layout(nfreqs))
-        record_stats(prelude_bytes=len(header) + len(prelude),
-                     encode_bytes=len(stream),
-                     prelude_time_ns=t1 - t0,
-                     encode_time_ns=time.perf_counter_ns() - t1)
-        return bytes(header) + prelude + stream
+        return (mapped, k, b, nfreqs, _maybe_layout(nfreqs), None,
+                bytes(header))
+
+    def encode(self, values) -> bytes:
+        return _encode_via_inputs(self, values)
 
     def _dec_table(self, buf: bytes):
         f = self.fidelity

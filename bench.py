@@ -130,13 +130,9 @@ def main():
     from ans_tpu import runtime
     runtime.enable_compilation_cache()
     import jax
-    import jax.numpy as jnp
 
     from ans_tpu import models
-    from ans_tpu.models.ans import AnsFold, lane_frame_cap
-    from ans_tpu.models.engine import PreparedEncoder
-    from ans_tpu.ops import mappings_jax as mj, tables
-    from ans_tpu.reference_model.model import adjust_freqs
+    from ans_tpu.models.ans import AnsFold
 
     data = make_data()
     codec = AnsFold(2, lanes=LANES, max_frame=None)
@@ -149,23 +145,11 @@ def main():
     prep = models.prepare_decoder(METHOD, blob, N, TC=TC)
     prep().block_until_ready()
     dec_ips = N / _time(lambda: prep().block_until_ready())
-    S, T = prep.S, prep.T
 
     # encode: device-resident scan + placement
-    from ans_tpu.constants import fold_max_sigma
-    mapped, k, b, hist = mj.fold_map_hist(jnp.asarray(data), fidelity=2,
-                                          length=fold_max_sigma(2))
-    freqs = np.asarray(hist).astype(np.uint64)
-    nfreqs_e = adjust_freqs(freqs, int(np.flatnonzero(freqs)[-1]), True,
-                            1, lane_frame_cap(None))
-    et = tables.build_enc_table(nfreqs_e)
-    pad = T * S - N
     enc_ips = None
     try:
-        pe = PreparedEncoder(jnp.pad(mapped, (0, pad)).reshape(T, S),
-                             jnp.pad(k, (0, pad)).reshape(T, S),
-                             jnp.pad(b, ((0, pad), (0, 0))).reshape(T, S, 3),
-                             N, et, S=S, T=T)
+        pe = models.prepare_encoder(METHOD, data, lanes=LANES)
         jax.block_until_ready(pe())
         enc_ips = N / _time(lambda: jax.block_until_ready(pe()))
     except ValueError:

@@ -60,12 +60,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ans_tpu.models.ans import _maybe_layout
-    from ans_tpu.models.engine import PreparedEncoder
-    from ans_tpu.ops import grouped, lane_codec, tables
-    from ans_tpu.ops import mappings_jax as mj
-    from ans_tpu.constants import MSB_MAX_SIGMA
-    from ans_tpu.reference_model.model import adjust_freqs
+    from ans_tpu.reference_model.model import load_prelude
 
     n = 1 << args.n
     data = datasets(n)
@@ -96,42 +91,16 @@ def main():
                        for _ in range(args.runs))
             dec_ips = n / best
 
+            # live symbol count from the wire prelude (ANS/ANSmsb blobs
+            # open with it directly)
+            nfq, _ = load_prelude(blob)
+            sigma = int(np.count_nonzero(nfq))
+
             # --- device-resident encode -------------------------------
-            if method == "ANSmsb":
-                mapped, k, b, hist = mj.msb_map_hist(
-                    jnp.asarray(values), length=MSB_MAX_SIGMA)
-                freqs = np.asarray(hist).astype(np.uint64)
-                u16 = True
-            else:
-                mapped, k, b = jnp.asarray(values), None, None
-                freqs = np.bincount(values).astype(np.uint64)
-                u16 = False
-            max_sym = int(np.flatnonzero(freqs)[-1])
-            from ans_tpu.models.ans import lane_frame_cap
-            nfreqs_e = adjust_freqs(freqs, max_sym, u16, 1,
-                                    lane_frame_cap(None))
-            lay_e = _maybe_layout(nfreqs_e)
-            et = tables.build_enc_table(nfreqs_e, lay_e)
-            S = args.lanes
-            T = lane_codec.lane_steps(n, S)
-            pad = T * S - n
-            vr = None
-            if lay_e is not None and method == "ANS":
-                mapped = jnp.asarray(lay_e.rank_of[values])
-            elif lay_e is not None:
-                vr = grouped.pack_planes(lay_e.rank_of)
-            mapped_ts = jnp.pad(mapped, (0, pad)).reshape(T, S)
-            if k is None:
-                k_ts = jnp.zeros((T, S), jnp.uint32)
-                b_ts = jnp.zeros((T, S, 3), jnp.uint8)
-            else:
-                k_ts = jnp.pad(k, (0, pad)).reshape(T, S)
-                b_ts = jnp.pad(b, ((0, pad), (0, 0))).reshape(T, S, 3)
             enc_ips = None
             try:
-                pe = PreparedEncoder(mapped_ts, k_ts, b_ts, n, et,
-                                     S=S, T=T, layout=lay_e,
-                                     vr_planes=vr)
+                pe = models.prepare_encoder(method, values,
+                                            lanes=args.lanes)
                 jax.block_until_ready(pe())
                 beste = min(_t(lambda: jax.block_until_ready(pe()))
                             for _ in range(args.runs))
@@ -143,7 +112,7 @@ def main():
                 "ANSmsb" if method == "ANSmsb" else "ANS", {})
             row = dict(
                 method=method, dataset=dname, ok=ok,
-                sigma=int(np.count_nonzero(nfreqs_e)),
+                sigma=sigma,
                 engine=prep.engine, bpi=round(bpi, 4),
                 cpp_bpi=bm.get("bpi"),
                 dev_decode_mips=round(dec_ips / 1e6, 1),
