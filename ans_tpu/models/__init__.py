@@ -117,7 +117,9 @@ def prepare_encoder(name: str, values, *, lanes: int = 4096,
     and the section plan, returning a models.engine.PreparedEncoder.
     Each call then runs only the scan + placement kernels (the serving
     pattern).  `pe.prelude + pe.to_bytes(*pe())` is the full wire
-    container, identical to codec.encode(values).  Requires the Pallas
+    container — byte-identical to `codec.encode(values)` for a codec
+    built with the same lane count (the registry defaults are used for
+    everything else: h_approx=1, honest frame).  Requires the Pallas
     encode envelope (TPU backend or ANS_TPU_INTERPRET); raises
     ValueError otherwise."""
     if name not in _LANE:
@@ -125,10 +127,11 @@ def prepare_encoder(name: str, values, *, lanes: int = 4096,
     from ..ops import lane_codec, tables
     from ..reference_model.model import serialize_prelude
     from . import config
-    from .ans import _stage_ts
+    from .ans import _maybe_layout, _stage_ts
     from .engine import PreparedEncoder
     codec = _LANE[name]()
-    mapped, k, b, nfreqs, layout, raw, header = codec._enc_inputs(values)
+    mapped, k, b, nfreqs, raw, header = codec._enc_inputs(values)
+    layout = _maybe_layout(nfreqs)
     n = int(mapped.shape[0])
     S = config.validate_lanes(lanes) or config.default_lane_count(n)
     T = lane_codec.lane_steps(n, S)

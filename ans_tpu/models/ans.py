@@ -169,13 +169,16 @@ def _maybe_layout(nfreqs):
 
 def _encode_via_inputs(codec, values) -> bytes:
     """Shared encode body: model half (codec._enc_inputs) -> prelude ->
-    lane stream, with the reference's prelude/encode time split."""
+    lane stream, with the reference's prelude/encode time split (the
+    grouped slot layout builds after the t1 stamp: it is table/encode
+    work, like the reference's frame init)."""
     t0 = time.perf_counter_ns()
-    mapped, k, b, nfreqs, layout, raw, header = codec._enc_inputs(values)
+    mapped, k, b, nfreqs, raw, header = codec._enc_inputs(values)
     prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
     t1 = time.perf_counter_ns()
     stream = _encode_stream(mapped, k, b, int(mapped.shape[0]), nfreqs,
-                            codec.lanes, layout=layout, raw_host=raw)
+                            codec.lanes, layout=_maybe_layout(nfreqs),
+                            raw_host=raw)
     record_stats(prelude_bytes=len(header) + len(prelude),
                  encode_bytes=len(stream), prelude_time_ns=t1 - t0,
                  encode_time_ns=time.perf_counter_ns() - t1)
@@ -203,8 +206,8 @@ class AnsInt:
         self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
 
     def _enc_inputs(self, values):
-        """(mapped_dev, nb_dev, excb_dev, nfreqs, layout, raw_host,
-        header) — the model/mapping half of encode(), shared with
+        """(mapped_dev, nb_dev, excb_dev, nfreqs, raw_host, header) —
+        the model/mapping half of encode(), shared with
         models.prepare_encoder.  raw_host: host values for the grouped
         branch's O(n) rank remap (ranks upload instead of values —
         never both, the relay is slow)."""
@@ -214,8 +217,7 @@ class AnsInt:
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
         nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return (values, None, None, nfreqs, _maybe_layout(nfreqs),
-                values, b"")
+        return values, None, None, nfreqs, values, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -261,7 +263,7 @@ class AnsMsb:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return mapped, k, b, nfreqs, _maybe_layout(nfreqs), None, b""
+        return mapped, k, b, nfreqs, None, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -312,7 +314,7 @@ class AnsFold:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return mapped, k, b, nfreqs, _maybe_layout(nfreqs), None, b""
+        return mapped, k, b, nfreqs, None, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -357,8 +359,7 @@ class AnsReorderFold:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return (mapped, k, b, nfreqs, _maybe_layout(nfreqs), None,
-                bytes(header))
+        return mapped, k, b, nfreqs, None, bytes(header)
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)

@@ -33,15 +33,19 @@ def prelude_padding_span(method: str, blob: bytes) -> tuple[int, int]:
 
 
 def assert_byte_blob_parity(mine: bytes, ref: bytes) -> None:
-    """ans_byte wire: the prelude is a raw interp block, so the only
-    legitimate difference is within the single (final interp) word
-    containing the first diff — the same check the fixture test uses."""
+    """ans_byte wire: the prelude is a raw interp block whose final
+    word carries the reference's uninitialized padding bits — diffs are
+    legitimate ONLY inside that word (anchored by parsing the prelude,
+    not by the first diff, so a genuine stream divergence can't
+    masquerade as padding)."""
+    from . import rans_compat
     assert len(mine) == len(ref), f"byte: size {len(mine)} != {len(ref)}"
     diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
     if diffs:
-        word_end = 4 * (diffs[0] // 4 + 1)
-        bad = [d for d in diffs if d >= word_end]
-        assert not bad, f"byte: non-padding mismatch at {bad[:5]}"
+        _, plen = rans_compat.byte_prelude_decode(mine)
+        bad = [d for d in diffs if not plen - 4 <= d < plen]
+        assert not bad, (f"byte: non-padding mismatch at {bad[:5]} "
+                         f"(padding span [{plen - 4},{plen}))")
 
 
 def assert_blob_parity(method: str, mine: bytes, ref: bytes) -> None:

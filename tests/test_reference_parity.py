@@ -56,10 +56,7 @@ def test_parity(case):
         codec = rc.AnsByte()
         payload = (data & 0xFF).astype(np.uint8).tobytes()
         mine = codec.encode(payload)
-        assert len(mine) == len(ref)
-        diffs = [i for i in range(len(ref)) if mine[i] != ref[i]]
-        # byte coder prelude = raw interp block; padding is its last word
-        assert all(d < 4 * ((diffs[0] // 4) + 1) for d in diffs) if diffs else True
+        parity.assert_byte_blob_parity(bytes(mine), ref)
         assert codec.decode(ref, len(payload)) == payload
         return
 

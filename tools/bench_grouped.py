@@ -58,7 +58,6 @@ def main():
     from ans_tpu import models, runtime
     runtime.enable_compilation_cache()
     import jax
-    import jax.numpy as jnp
 
     from ans_tpu.reference_model.model import load_prelude
 

@@ -71,7 +71,13 @@ def run_case(name, case_name, data):
     # encode kernels (scan + placement) and auto-chosen decode kernel —
     # the exact production dispatch, interpreted.  The kernel encode
     # must reproduce the XLA scan's bytes (one format, two engines).
-    if engines:
+    # Gate on ENCODE eligibility (grouped layout, or the plain scan's
+    # alphabet cap), not decode eligibility — otherwise the interpret
+    # encode silently falls back to the same XLA path and the byte
+    # equality is vacuous.
+    enc_kernel_ok = (dt.layout is not None
+                     or len(dt.nfreqs) <= (1 << 13))
+    if engines and enc_kernel_ok:
         os.environ["ANS_TPU_INTERPRET"] = "1"
         try:
             kblob = codec.encode(data)
@@ -94,6 +100,10 @@ def main():
     ap.add_argument("--methods", default=",".join(METHODS))
     ap.add_argument("--keep-going", action="store_true")
     args = ap.parse_args()
+    import os
+    if os.environ.get("ANS_TPU_INTERPRET"):
+        sys.exit("unset ANS_TPU_INTERPRET: this tool toggles it per "
+                 "case to differentiate kernel vs XLA encodes")
     names = args.methods.split(",")
     rng = np.random.default_rng(args.seed)
     counts: dict[str, int] = {}
