@@ -37,13 +37,6 @@ def main():
 
     from ans_tpu import models, runtime
     runtime.enable_compilation_cache()
-    from ans_tpu.models import framing
-    from ans_tpu.models.engine import PreparedDecoder
-    from ans_tpu.ops import lane_codec, tables
-    from ans_tpu.reference_model import mappings as map_np
-    from ans_tpu.reference_model.model import load_prelude
-    import tools.full_bench as fb
-
     n = 1 << args.n
     rng = np.random.default_rng(42)
     data = (rng.zipf(1.25, size=n) - 1).clip(0, (1 << 28) - 1).astype(
@@ -55,8 +48,7 @@ def main():
     preps = {}
     for name, env in (("roll", ""), ("rowmm", "1")):
         os.environ["ANS_TPU_ROWMM"] = env
-        p = fb._prepare(args.method, blob, n, framing, PreparedDecoder,
-                        lane_codec, tables, map_np, load_prelude)
+        p = models.prepare_decoder(args.method, blob, n)
         first = p()
         first.block_until_ready()
         assert (p.to_host(first) == data).all(), name

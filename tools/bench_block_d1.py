@@ -55,16 +55,13 @@ def main():
         np.uint32)
 
     # ---- unblocked reference points (same data, same lanes) ----------
-    import tools.full_bench as fb
     from ans_tpu import models
-    from ans_tpu.models.engine import PreparedDecoder
     from ans_tpu.reference_model import mappings as map_np
     from ans_tpu.reference_model.model import load_prelude
     codec = models.get(args.method, "lane")
     codec.lanes = args.lanes
     blob = codec.encode(values)
-    prep = fb._prepare(args.method, blob, n, framing, PreparedDecoder,
-                       lane_codec, tables, map_np, load_prelude)
+    prep = models.prepare_decoder(args.method, blob, n)
     prep().block_until_ready()
     t_un = min(_t(lambda: prep().block_until_ready())
                for _ in range(args.runs))
