@@ -41,6 +41,12 @@ def main(argv=None):
                    choices=("lane", "compat"))
     c.add_argument("-t", "--text", action="store_true",
                    help="parse whitespace-separated text integers")
+    c.add_argument("--blocked", action="store_true",
+                   help="ATFB container via the multi-chip block "
+                        "runtime (ANS-family methods)")
+    c.add_argument("-D", "--devices", type=int, default=None,
+                   help="mesh size for --blocked (default: all "
+                        "visible devices)")
 
     d = sub.add_parser("decompress", help="ATFC container -> u32 file")
     d.add_argument("infile")
@@ -60,21 +66,43 @@ def main(argv=None):
         values = _read_values(args.infile, args.text)
         if values.size == 0:
             sys.exit("empty input")
-        out = container.compress(values, args.method, args.engine)
+        if args.blocked:
+            from .parallel import block_runtime as br
+            bc = br.BlockCodec(args.method, br.make_mesh(args.devices))
+            out = bc.encode(values)
+            desc = f"{args.method}, blocked D={bc.mesh.size}"
+        else:
+            out = container.compress(values, args.method, args.engine)
+            desc = f"{args.method}, {args.engine}"
         with open(args.outfile, "wb") as f:
             f.write(out)
         print(f"{values.size} ints -> {len(out)} bytes "
-              f"({8 * len(out) / values.size:.4f} bpi, {args.method}, "
-              f"{args.engine})")
+              f"({8 * len(out) / values.size:.4f} bpi, {desc})")
         return 0
     buf = open(args.infile, "rb").read()
+    from .parallel import block_runtime as br
+    blocked = (len(buf) >= 4
+               and int.from_bytes(buf[:4], "little") == br.MAGIC)
     if args.cmd == "info":
-        method, engine, n, blob = container.unpack(buf)
-        print(f"method={method} engine={engine} n={n} "
-              f"payload={len(blob)} bytes "
-              f"({8 * len(blob) / max(n, 1):.4f} bpi)")
+        if blocked:
+            method, n, D = br.describe_container(buf)
+            print(f"method={method} container=ATFB n={n} D={D} "
+                  f"({8 * len(buf) / max(n, 1):.4f} bpi)")
+        else:
+            method, engine, n, blob = container.unpack(buf)
+            print(f"method={method} engine={engine} n={n} "
+                  f"payload={len(blob)} bytes "
+                  f"({8 * len(blob) / max(n, 1):.4f} bpi)")
         return 0
-    values = container.decompress(buf)
+    if blocked:
+        # the stream holds one section per encode-mesh device; decode
+        # needs a D-device mesh (CPU: XLA_FLAGS
+        # --xla_force_host_platform_device_count=D)
+        method, n, D = br.describe_container(buf)
+        values = br.BlockCodec(method, br.make_mesh(D)).decode(buf)
+    else:
+        values = container.decompress(buf)
+    values = np.ascontiguousarray(values, dtype=np.uint32)
     values.astype("<u4").tofile(args.outfile)
     print(f"{len(buf)} bytes -> {values.size} ints")
     return 0

@@ -67,6 +67,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def describe_container(blob: bytes):
+    """(method, n, D) from an ATFB header — the inverse of
+    _parse_method over the stored kind/fidelity/h_approx fields, so a
+    caller (the file CLI) can build the matching BlockCodec without
+    out-of-band knowledge."""
+    magic, _ver, kind_id, fid, h_app, n, D = struct.unpack_from(
+        "<IBBBBII", blob, 0)
+    if magic != MAGIC:
+        raise ValueError("not an ATFB container")
+    kind = _KIND_NAMES[kind_id]
+    if kind == "int":
+        method = "ANS" if h_app == 1 else f"ANSsint-{h_app}"
+    elif kind == "msb":
+        method = "ANSmsb" if h_app == 1 else f"ANSsmsb-{h_app}"
+    else:
+        method = f"ANS{kind}-{fid}"
+    return method, int(n), int(D)
+
+
 def _parse_method(method: str):
     """-> (kind, fidelity, h_approx)."""
     if method == "ANS":

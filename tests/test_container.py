@@ -63,6 +63,23 @@ def test_cli_text_input(tmp_path):
         np.array([5, 1, 2, 3, 4, 5, 6], dtype=np.uint32))
 
 
+def test_cli_blocked_roundtrip(data, tmp_path, capsys):
+    """--blocked writes an ATFB container via the block runtime; the
+    CLI sniffs the magic and rebuilds the codec + mesh from the
+    header (conftest provides the 8 virtual devices)."""
+    src = tmp_path / "in.u32"
+    data.astype("<u4").tofile(src)
+    atfb = tmp_path / "out.atfb"
+    dst = tmp_path / "out.u32"
+    assert cli(["compress", str(src), str(atfb), "-m", "ANSfold-2",
+                "--blocked", "-D", "4"]) == 0
+    assert cli(["info", str(atfb)]) == 0
+    out = capsys.readouterr().out
+    assert "container=ATFB" in out and "D=4" in out
+    assert cli(["decompress", str(atfb), str(dst)]) == 0
+    np.testing.assert_array_equal(np.fromfile(dst, dtype="<u4"), data)
+
+
 def test_cli_methods_lists_registry(capsys):
     assert cli(["methods"]) == 0
     out = capsys.readouterr().out.split()
