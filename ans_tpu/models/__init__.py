@@ -79,6 +79,13 @@ def available(engine: str = "lane"):
 def get(name: str, engine: str = "lane"):
     reg = dict({"lane": _LANE, "compat": _COMPAT}[engine])
     reg.update(_host_methods())
+    if engine == "compat" and name == "shuff":
+        # the compat engine is the reference-wire surface; shuff has a
+        # bit-exact reimplementation of the reference's canonical
+        # Huffman wire (reference_model/shuff_compat.py), while the
+        # lane engine keeps the fast LUT codec (models/shuff.py)
+        from ..reference_model.shuff_compat import ShuffCompat
+        return ShuffCompat()
     if name not in reg:
         raise KeyError(f"unknown method {name!r}; known: {sorted(reg)}")
     return reg[name]()

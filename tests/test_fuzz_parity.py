@@ -29,7 +29,8 @@ def ref_dump():
 
 # fixed seeds -> deterministic cases; small n keeps this under ~20s
 QUICK = [("int", 11), ("msb", 12), ("fold2", 13), ("fold8", 14),
-         ("rfold2", 15), ("sint80", 16), ("smsb320", 17)]
+         ("rfold2", 15), ("sint80", 16), ("smsb320", 17),
+         ("byte", 18), ("shuff", 19)]
 
 
 @pytest.mark.parametrize("method,seed", QUICK)

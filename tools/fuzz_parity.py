@@ -62,6 +62,9 @@ def build_ref_dump() -> str:
 def our_codec(method: str):
     if method == "byte":
         return rc.AnsByte()
+    if method == "shuff":
+        from ans_tpu.reference_model.shuff_compat import ShuffCompat
+        return ShuffCompat()
     if method == "int":
         return rc.AnsInt()
     if method == "msb":
@@ -88,7 +91,7 @@ def gen_case(rng: np.random.Generator, method: str):
     n = int(rng.choice([37, 997, 5000, 20000, 100000]))
     kinds = ["zipf", "uniform", "geometric", "head_tail",
              "clustered", "binary", "huge"]
-    direct_domain = method.startswith(("int", "sint"))
+    direct_domain = method.startswith(("int", "sint", "shuff"))
     if direct_domain:
         kinds.remove("huge")
     kind = rng.choice(kinds)
@@ -167,7 +170,16 @@ def run_case(method, name, data, tmp):
                                       err_msg=f"{method} {name} (ours)")
         return "ref-defect"
     mine = codec.encode(data)
-    parity.assert_blob_parity(method, mine, blob_ref)
+    if method == "shuff":
+        # fully deterministic bitstream, but the oracle dumps the
+        # reference's truncated size + one slack word (ref_dump.cpp):
+        # ours must be an exact prefix with <= 8 trailing slack bytes
+        assert (len(blob_ref) - len(mine) in (0, 8)
+                and blob_ref[:len(mine)] == bytes(mine)), (
+            f"shuff {name}: wire mismatch "
+            f"({len(mine)} vs {len(blob_ref)})")
+    else:
+        parity.assert_blob_parity(method, mine, blob_ref)
     np.testing.assert_array_equal(
         codec.decode(blob_ref, n), data,
         err_msg=f"{method} {name}: our decode of the reference blob")
@@ -214,7 +226,7 @@ def main():
     ap.add_argument("--cases", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--methods",
-                    default=",".join(parity.METHODS + ["byte"]))
+                    default=",".join(parity.METHODS + ["byte", "shuff"]))
     ap.add_argument("--keep-going", action="store_true")
     args = ap.parse_args()
     build_ref_dump()

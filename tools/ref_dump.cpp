@@ -29,6 +29,7 @@
 #include "ans_reorder_fold.hpp"
 #include "ans_sint.hpp"
 #include "ans_smsb.hpp"
+#include "shuff.hpp"
 
 static std::vector<uint8_t> read_file(const char* path) {
   FILE* f = fopen(path, "rb");
@@ -81,6 +82,7 @@ static size_t enc_smsb(uint8_t* d, size_t c, const uint32_t* s, size_t m) {
 
 static bool pick(const std::string& m, enc_fn& enc, dec_fn& dec) {
   if (m == "int")   { enc = ans_int_compress;  dec = ans_int_decompress;  return true; }
+  if (m == "shuff") { enc = shuff_compress;    dec = shuff_decompress;    return true; }
   if (m == "msb")   { enc = ans_msb_compress;  dec = ans_msb_decompress;  return true; }
   if (m == "fold1") { enc = enc_fold<1>; dec = dec_fold<1>; return true; }
   if (m == "fold2") { enc = enc_fold<2>; dec = dec_fold<2>; return true; }
@@ -122,6 +124,10 @@ int main(int argc, char** argv) {
       enc_fn enc; dec_fn dec;
       if (!pick(method, enc, dec)) { fprintf(stderr, "bad method %s\n", method.c_str()); return 2; }
       bytes = enc(out.data(), out.size(), in, n);
+      // shuff_compress returns only the complete-u64 byte count; the
+      // final partial word (up to 63 real bits) lives just past it
+      // (SHUFF_FINISH_OUTPUT) — dump it too or the wire is truncated
+      if (method == "shuff") bytes += 8;
     }
     write_file(argv[4], out.data(), bytes);
     return 0;
@@ -131,15 +137,20 @@ int main(int argc, char** argv) {
     if (argc < 6) { fprintf(stderr, "usage: see header\n"); return 2; }
     auto blob = read_file(argv[3]);
     size_t n = strtoull(argv[4], nullptr, 10);
+    size_t csize = blob.size();
+    // shuff's decoder prefetches whole u64 words past the last
+    // consumed bit; give it slack without changing csize (the ANS
+    // decoders read backward from blob.data() + csize)
+    blob.resize(blob.size() + 16, 0);
     std::vector<uint32_t> out(n);
     if (method == "byte") {
       std::vector<uint8_t> b(n);
-      ans_byte_decompress(b.data(), n, blob.data(), blob.size());
+      ans_byte_decompress(b.data(), n, blob.data(), csize);
       for (size_t i = 0; i < n; i++) out[i] = b[i];
     } else {
       enc_fn enc; dec_fn dec;
       if (!pick(method, enc, dec)) { fprintf(stderr, "bad method %s\n", method.c_str()); return 2; }
-      dec(out.data(), n, blob.data(), blob.size());
+      dec(out.data(), n, blob.data(), csize);
     }
     write_file(argv[5], reinterpret_cast<uint8_t*>(out.data()), 4 * n);
     return 0;
