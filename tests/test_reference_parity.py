@@ -52,6 +52,16 @@ def test_parity(case):
     data = np.fromfile(FIX / f"{dname}.u32", dtype="<u4")
     ref = (FIX / f"{dname}.{method}.ref").read_bytes()
 
+    if method == "shuff":
+        from ans_tpu.reference_model.shuff_compat import ShuffCompat
+        codec = ShuffCompat()
+        mine = codec.encode(data)
+        # the shuff bitstream is fully deterministic (no uninitialized
+        # padding inside the wire): exact byte equality
+        assert bytes(mine) == ref, f"{case}: shuff wire mismatch"
+        np.testing.assert_array_equal(codec.decode(ref, len(data)), data)
+        return
+
     if method == "byte":
         codec = rc.AnsByte()
         payload = (data & 0xFF).astype(np.uint8).tobytes()
