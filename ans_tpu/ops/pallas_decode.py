@@ -733,14 +733,58 @@ def _lookup_multi(tables_, idx, Mr, B, chunk=16):
     return accs
 
 
+# unrolled row scans above this limit go through a real fori_loop: the
+# Mosaic kernel stack allocator gives every *program point* its own
+# scoped-VMEM slot (no liveness reuse across an unrolled loop — the
+# chunk-accumulated _lookup_acc still OOMed at 5970 rows x (32,128) =
+# 100.2M scoped on zipf-2^20, v5e measured), while a lax.fori_loop body
+# is one program point whose stack is reused every iteration
+_PLANE_LOOP_MIN_ROWS = 32
+_PLANE_LOOP_CHUNK = 32
+
+
+def _lookup_loop(pref, idx, nrows, B, chunk=_PLANE_LOOP_CHUNK):
+    """_lookup over a VMEM *ref*, scanning rows in dynamically-sliced
+    chunks inside a fori_loop so scoped VMEM is ~chunk*(B,128) however
+    large the table.  The tail chunk is clamped (rows rescanned by the
+    overlap fail their exact hi==h test or OR in the identical value —
+    idempotent either way).  Requires nrows >= chunk rows staged."""
+    lo = idx & 127
+    hi = idx >> 7
+    chunk = min(chunk, nrows)
+    nchunks = -(-nrows // chunk)
+
+    def body(c, acc):
+        c0 = jnp.minimum(c * chunk, nrows - chunk)
+        blk = pref[pl.ds(c0, chunk), :]
+        terms = []
+        for j in range(chunk):
+            row = jnp.broadcast_to(blk[j:j + 1, :], (B, 128))
+            terms.append(
+                jnp.where(hi == c0 + j,
+                          jnp.take_along_axis(row, lo, axis=1), 0))
+        while len(terms) > 1:
+            nxt = [a | b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) & 1:
+                nxt.append(terms[-1])
+            terms = nxt
+        return acc | terms[0]
+
+    return jax.lax.fori_loop(0, nchunks, body,
+                             jnp.zeros((B, 128), jnp.int32))
+
+
 def _plane_lookup(rows_arr, idx, nrows, bits, B):
     """Read entry idx from a bit-packed plane table ((nrows,128) i32 of
-    32/bits-entry words; ops/grouped.Plane layout).  Large planes use
-    the chunk-accumulated scan to bound scoped VMEM."""
+    32/bits-entry words; ops/grouped.Plane layout).  rows_arr may be a
+    materialized (nrows,128) value (small planes) or a VMEM ref (large
+    planes, scanned by the bounded-stack fori_loop)."""
     per = 32 // bits
-    look = _lookup if nrows <= 32 else _lookup_acc
-    word = look(rows_arr, jax.lax.shift_right_logical(
-        idx, per.bit_length() - 1), nrows, B)
+    widx = jax.lax.shift_right_logical(idx, per.bit_length() - 1)
+    if nrows > _PLANE_LOOP_MIN_ROWS:
+        word = _lookup_loop(rows_arr, widx, nrows, B)
+    else:
+        word = _lookup(rows_arr, widx, nrows, B)
     sh = (idx & (per - 1)) * bits
     return jax.lax.shift_right_logical(word, sh) & ((1 << bits) - 1)
 
@@ -778,8 +822,13 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
     gr0 = gr0_ref[:]
     gmg = gmg_ref[:]
     gpivs = [p[:] for p in gpiv_refs]
-    planes = [p[:] for p in plane_refs]
-    nbp = nb_ref[:] if has_exc else None
+    # small planes are hoisted to values once; large planes stay REFS so
+    # _plane_lookup's fori_loop can dynamic-slice row chunks (bounded
+    # kernel stack — see _lookup_loop)
+    planes = [p if spec[1] > _PLANE_LOOP_MIN_ROWS else p[:]
+              for p, spec in zip(plane_refs, planespec)]
+    nbp = ((nb_ref if nbrows > _PLANE_LOOP_MIN_ROWS else nb_ref[:])
+           if has_exc else None)
     rmask = rowmm_mask(R, NR + NE) if (rowmm and R > 1) else None
 
     def step(i, carry):

@@ -38,7 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _lookup_acc, _lookup_multi
+from .pallas_decode import (_PLANE_LOOP_MIN_ROWS, _lookup_acc,
+                            _lookup_loop, _lookup_multi)
 from .tables import A_L
 
 _lsr = jax.lax.shift_right_logical
@@ -76,10 +77,18 @@ def _mulhi32(a, b):
 
 
 def _plane_lookup_acc(rows_arr, idx, nrows, bits, B):
-    """Bit-packed plane read (ops/grouped.Plane) with chunked lookup."""
+    """Bit-packed plane read (ops/grouped.Plane).  Large planes take a
+    VMEM ref and the bounded-stack fori_loop scan (the Mosaic kernel
+    stack gives every unrolled program point its own slot, so the
+    chunk-accumulated unrolled scan still OOMs at sigma-sized planes —
+    see pallas_decode._lookup_loop); small ones a materialized value
+    and the pipelined unrolled scan."""
     per = 32 // bits
-    word = _lookup_acc(rows_arr, _lsr(idx, per.bit_length() - 1),
-                       nrows, B)
+    widx = _lsr(idx, per.bit_length() - 1)
+    if nrows > _PLANE_LOOP_MIN_ROWS:
+        word = _lookup_loop(rows_arr, widx, nrows, B)
+    else:
+        word = _lookup_acc(rows_arr, widx, nrows, B)
     sh = (idx & (per - 1)) * bits
     return _lsr(word, sh) & ((1 << bits) - 1)
 
@@ -116,7 +125,9 @@ def _kernel(wa_ref, n_ref, t1_ref, t2_ref, tb_ref, *rest, S, R, TC, NT,
     t2 = t2_ref[:]
     tb = tb_ref[:] if (big_m or grouped) else None
     gpivs = [p[:] for p in gpiv_refs]
-    vrs = [p[:] for p in vr_refs]
+    # large value->rank planes stay refs for the fori_loop scan
+    vrs = [p if spec[1] > _PLANE_LOOP_MIN_ROWS else p[:]
+           for p, spec in zip(vr_refs, vrspec)]
     NB = TC // G
 
     def batch(bi, state):

@@ -124,6 +124,13 @@ def interleaved_decode(buf: bytes, n: int, nfreqs, high_of_sym=None,
     Returns a uint32 array.
     """
     freq_slot, offset_slot, sym_slot = _dec_tables(nfreqs)
+    M_chk = int(np.asarray(nfreqs, dtype=np.int64).sum())
+    if M_chk <= 0 or (M_chk & (M_chk - 1)):
+        # all-zero or non-pow2 frame: a well-formed prelude can still
+        # carry it (diffs of 1 -> every freq 0); the state & (M-1) mask
+        # would index garbage (native twin rejects identically)
+        raise ValueError(f"corrupt prelude: frame size {M_chk} is not a "
+                         "positive power of two")
     if _native is not None:
         high_slot = nb_slot = None
         if high_of_sym is not None:
