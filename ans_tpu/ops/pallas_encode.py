@@ -272,6 +272,16 @@ def choose_g(sigma: int, S: int, log2m: int, TC: int = 128,
     return G
 
 
+def _cap_tc(TC: int, R: int) -> int:
+    """Shrink the scan's chunk rows so the double-buffered wa + out
+    blocks (4*TC*R*512 bytes together) leave stack room under Mosaic's
+    16MB scoped-VMEM limit (S=8192/TC=128 measured 16.08M: over by
+    81K)."""
+    while TC > 8 and 4 * TC * R * 512 > (12 << 20):
+        TC //= 2
+    return TC
+
+
 def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
                 interpret=False):
     """Run the encode scan; returns (packed words (T_pad, S) i32 device,
@@ -281,9 +291,10 @@ def encode_scan(mapped_ts, nb_ts, n, et, *, S, T, TC=128, G=None,
     """
     sigma = len(et.freq)
     Msr = -(-sigma // 128)
+    R = S // 128
+    TC = _cap_tc(TC, R)
     NT = -(-T // TC)
     T_pad = NT * TC
-    R = S // 128
     G = choose_g(sigma, S, et.log2m, TC, 16 if G is None else G)
     del nb_ts  # placement reads exception counts separately
     wa = jnp.pad(mapped_ts.astype(jnp.int32),
@@ -318,9 +329,10 @@ def encode_scan_grouped(syms_ts, n, layout, *, S, T, TC=128, G=None,
     """
     NG = layout.num_groups
     NGr = max(1, -(-NG // 128))
+    R = S // 128
+    TC = _cap_tc(TC, R)
     NT = -(-T // TC)
     T_pad = NT * TC
-    R = S // 128
     vr_planes = vr_planes or ()
     vrspec = tuple((p.bits, p.rows, p.shift) for p in vr_planes)
     # VMEM budget: prefetch materializes ~3 NGr-row lookups + gdepth

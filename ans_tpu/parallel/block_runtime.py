@@ -437,7 +437,7 @@ class BlockCodec:
         from ..ops import pallas_encode
         D = self.mesh.devices.size
         R = S // 128
-        TCe = 128
+        TCe = pallas_encode._cap_tc(128, S // 128)
         NT = -(-T // TCe)
         big_m = et.log2m > 16 and layout is None
         extra = ()
