@@ -137,15 +137,15 @@ def prepare_encoder(name: str, values, *, lanes: int = 4096,
     from .ans import _maybe_layout, _stage_ts
     from .engine import PreparedEncoder
     codec = _LANE[name]()
-    mapped, k, b, nfreqs, raw, header = codec._enc_inputs(values)
-    layout = _maybe_layout(nfreqs)
+    mapped, k, b, pfreqs, ffreqs, raw, header = codec._enc_inputs(values)
+    layout = _maybe_layout(ffreqs)
     n = int(mapped.shape[0])
     S = config.validate_lanes(lanes) or config.default_lane_count(n)
     T = lane_codec.lane_steps(n, S)
-    et = tables.build_enc_table(nfreqs, layout)
+    et = tables.build_enc_table(ffreqs, layout)
     mapped_ts, nb_ts, excb_ts, vr = _stage_ts(mapped, k, b, n, S, T,
                                               layout, raw)
     pe = PreparedEncoder(mapped_ts, nb_ts, excb_ts, n, et, S=S, T=T,
                          G=G, layout=layout, vr_planes=vr)
-    pe.prelude = header + serialize_prelude(nfreqs, int(nfreqs.sum()))
+    pe.prelude = header + serialize_prelude(pfreqs, int(pfreqs.sum()))
     return pe

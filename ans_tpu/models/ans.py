@@ -167,17 +167,38 @@ def _maybe_layout(nfreqs):
     return None
 
 
+def _int_dec_table(nfreqs) -> tables.DecTable:
+    """Decode table for the identity coders (ans/sint): tail-escape
+    recoding when the prelude freqs select it (ops/escape.py — the same
+    pure derivation the encoder ran), grouped/value-cumulative layout
+    otherwise.  Shared by AnsInt._dec_table and the blocked runtime."""
+    from ..ops import escape
+    plan = escape.plan_from_freqs(nfreqs)
+    if plan is not None:
+        layout = _maybe_layout(plan.frame_freqs)
+        return tables.build_dec_table(plan.frame_freqs, plan.sym_high,
+                                      plan.sym_nb, layout=layout,
+                                      slots=False)
+    layout = _maybe_layout(nfreqs)
+    return tables.build_dec_table(nfreqs, layout=layout,
+                                  slots=layout is None)
+
+
 def _encode_via_inputs(codec, values) -> bytes:
     """Shared encode body: model half (codec._enc_inputs) -> prelude ->
     lane stream, with the reference's prelude/encode time split (the
     grouped slot layout builds after the t1 stamp: it is table/encode
-    work, like the reference's frame init)."""
+    work, like the reference's frame init).  _enc_inputs returns
+    (mapped, k, b, prelude_freqs, frame_freqs, raw_host, header); the
+    two frequency vectors differ only under tail-escape recoding
+    (ops/escape.py), where the prelude stays the true per-symbol vector
+    and the frame runs over the folded alphabet."""
     t0 = time.perf_counter_ns()
-    mapped, k, b, nfreqs, raw, header = codec._enc_inputs(values)
-    prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+    mapped, k, b, pfreqs, ffreqs, raw, header = codec._enc_inputs(values)
+    prelude = serialize_prelude(pfreqs, int(pfreqs.sum()))
     t1 = time.perf_counter_ns()
-    stream = _encode_stream(mapped, k, b, int(mapped.shape[0]), nfreqs,
-                            codec.lanes, layout=_maybe_layout(nfreqs),
+    stream = _encode_stream(mapped, k, b, int(mapped.shape[0]), ffreqs,
+                            codec.lanes, layout=_maybe_layout(ffreqs),
                             raw_host=raw)
     record_stats(prelude_bytes=len(header) + len(prelude),
                  encode_bytes=len(stream), prelude_time_ns=t1 - t0,
@@ -206,18 +227,26 @@ class AnsInt:
         self.name = "ANS" if h_approx == 1 else f"ANSsint-{h_approx}"
 
     def _enc_inputs(self, values):
-        """(mapped_dev, nb_dev, excb_dev, nfreqs, raw_host, header) —
-        the model/mapping half of encode(), shared with
-        models.prepare_encoder.  raw_host: host values for the grouped
-        branch's O(n) rank remap (ranks upload instead of values —
-        never both, the relay is slow)."""
+        """(mapped_dev, nb_dev, excb_dev, prelude_freqs, frame_freqs,
+        raw_host, header) — the model/mapping half of encode(), shared
+        with models.prepare_encoder.  raw_host: host values for the
+        grouped branch's O(n) rank remap (ranks upload instead of
+        values — never both, the relay is slow).  Huge live alphabets
+        take the tail-escape recoding (ops/escape.py): the frame then
+        runs over the folded alphabet while the prelude keeps the true
+        per-symbol vector."""
         values = np.ascontiguousarray(values, dtype=np.uint32)
         _require_nonempty(values)
         max_sym = int(values.max())
         freqs = np.bincount(values, minlength=max_sym + 1).astype(np.uint64)
         nfreqs = adjust_freqs(freqs, max_sym, False, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return values, None, None, nfreqs, values, b""
+        from ..ops import escape
+        plan = escape.plan_from_freqs(nfreqs)
+        if plan is not None:
+            mapped, k, b = plan.map_values(values)
+            return mapped, k, b, nfreqs, plan.frame_freqs, None, b""
+        return values, None, None, nfreqs, nfreqs, values, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -226,10 +255,7 @@ class AnsInt:
         """(DecTable, stream offset) parsed from the wire prelude —
         the decode half shared by decode() and prepare_decoder()."""
         nfreqs, plen = load_prelude(buf)
-        layout = _maybe_layout(nfreqs)
-        dt = tables.build_dec_table(nfreqs, layout=layout,
-                                    slots=layout is None)
-        return dt, plen
+        return _int_dec_table(nfreqs), plen
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:
         dt, off = self._dec_table(buf)
@@ -263,7 +289,7 @@ class AnsMsb:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return mapped, k, b, nfreqs, None, b""
+        return mapped, k, b, nfreqs, nfreqs, None, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -314,7 +340,7 @@ class AnsFold:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return mapped, k, b, nfreqs, None, b""
+        return mapped, k, b, nfreqs, nfreqs, None, b""
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)
@@ -359,7 +385,7 @@ class AnsReorderFold:
         max_sym = int(np.flatnonzero(freqs)[-1])
         nfreqs = adjust_freqs(freqs, max_sym, True, self.h_approx,
                               lane_frame_cap(self.max_frame))
-        return mapped, k, b, nfreqs, None, bytes(header)
+        return mapped, k, b, nfreqs, nfreqs, None, bytes(header)
 
     def encode(self, values) -> bytes:
         return _encode_via_inputs(self, values)

@@ -170,15 +170,24 @@ def build_group_layout(nfreqs) -> GroupLayout:
 class Plane:
     """One bit-packed table: entry i lives in word i >> log2per at bit
     (i & (per-1)) << log2bits, contributing (entry << shift) to the
-    composed value."""
+    composed value (the kernel SUMS contributions — disjoint bitfields
+    behave like OR, anchored tables carry real adds).
+
+    idx_shift/padded: the entry index is (prank if padded else rank)
+    >> idx_shift, where prank is the group-aligned padded rank
+    (anchored representations index one anchor per 2^idx_shift ranks;
+    see build_group_table)."""
 
     words: np.ndarray  # u32 (ceil(n/per),)
     bits: int          # 2 | 4 | 8 | 16
     shift: int         # contribution shift in the composed value
     rows: int          # ceil(len(words)/128)
+    idx_shift: int = 0
+    padded: bool = False
 
 
-def _pack_plane(vals: np.ndarray, bits: int, shift: int) -> Plane:
+def _pack_plane(vals: np.ndarray, bits: int, shift: int,
+                idx_shift: int = 0, padded: bool = False) -> Plane:
     per = 32 // bits
     v = np.asarray(vals, dtype=np.uint64) & ((1 << bits) - 1)
     pad = (-len(v)) % per
@@ -188,7 +197,8 @@ def _pack_plane(vals: np.ndarray, bits: int, shift: int) -> Plane:
     sh = (np.arange(per, dtype=np.uint64) * bits)
     words = (v << sh).sum(axis=1).astype(np.uint32)
     return Plane(words=words, bits=bits, shift=shift,
-                 rows=max(1, -(-len(words) // 128)))
+                 rows=max(1, -(-len(words) // 128)),
+                 idx_shift=idx_shift, padded=padded)
 
 
 def _min_bits(maxval: int) -> int:
@@ -211,7 +221,8 @@ def plane_rows(vals_max: int, count: int) -> int:
     return rows(16) + rows(_min_bits(vals_max >> 16))
 
 
-def pack_planes(vals: np.ndarray) -> tuple:
+def pack_planes(vals: np.ndarray, idx_shift: int = 0,
+                padded: bool = False) -> tuple:
     """Split a u32 table into packed planes (low 16 bits + a minimal
     high plane when needed).  An all-zero table packs to ()."""
     v = np.asarray(vals, dtype=np.uint32)
@@ -219,10 +230,150 @@ def pack_planes(vals: np.ndarray) -> tuple:
     if mx == 0:
         return ()
     if mx < (1 << 16):
-        return (_pack_plane(v, _min_bits(mx), 0),)
+        return (_pack_plane(v, _min_bits(mx), 0, idx_shift, padded),)
     hi = v >> np.uint32(16)
-    return (_pack_plane(v & np.uint32(0xFFFF), 16, 0),
-            _pack_plane(hi, _min_bits(int(hi.max())), 16))
+    return (_pack_plane(v & np.uint32(0xFFFF), 16, 0, idx_shift, padded),
+            _pack_plane(hi, _min_bits(int(hi.max())), 16, idx_shift,
+                        padded))
+
+
+# --------------------------------------------------------------------------
+# anchored (padded-rank) representation
+# --------------------------------------------------------------------------
+#
+# A rank-indexed value table costs ceil(sigma*bits/32/128) scanned rows
+# per plane lookup, and the scan is VPU-throughput bound — at
+# sigma = 2^20 the 16+4-bit direct planes (~5000 rows) pin ans_int
+# decode near 26 ns/int.  But the table's CONTENT is structured: within
+# one frequency group, values ascend (the layout sorts ties by value),
+# so value[rank] = anchor[prank >> s] + resid[prank] with a NARROW
+# resid plane.  Two obstacles shape the construction:
+#
+#   * anchor blocks must not span group boundaries (values reset
+#     between groups), so each group gets its own 2^s-aligned region of
+#     a PADDED plane-index space;
+#   * the resid width is global, but within-block value spans differ
+#     wildly by group (a tiny high-frequency group scatters a handful
+#     of symbols across the whole value range), so each group also gets
+#     its own anchor DENSITY d_g <= s: its ranks advance by
+#     2^(s - d_g) padded positions, giving one anchor per 2^d_g ranks
+#     (d_g = 0 means every rank is its own anchor, resid 0).
+#
+# The kernel needs only prank = pr0_g + (j << (s - d_g)): the packed
+# per-group word pr0 | (s - d_g) << PRANK_SHIFT_BITS rides the same
+# NG-sized multi-lookup as f/rank0/magic.  Representation choice
+# (direct vs anchored, the stride s, the resid width, and every d_g) is
+# decided by exact scanned-row count from the actual table values.
+# None of this is wire-visible: slots and ranks stay dense — the
+# padding exists only in plane indices (a pure table representation).
+
+_ANCHOR_STRIDES = (3, 4, 5)    # candidate log2 anchor strides s
+_RESID_BITS = (2, 4, 8, 16)    # candidate resid plane widths
+PRANK_SHIFT_BITS = 27          # advance exponent field in the packed
+PRANK_MASK = (1 << 27) - 1     # per-group prank word
+
+
+def _group_spans(layout: "GroupLayout", vals: np.ndarray, smax: int):
+    """span[d][g] = max over d-level blocks (2^d consecutive ranks of
+    group g, aligned to the group start) of last - first value.  Values
+    ascend within a group, so block span = endpoint difference."""
+    v = np.asarray(vals, dtype=np.int64)
+    sigma = layout.sigma
+    gr0 = layout.g_rank0.astype(np.int64)
+    counts = np.diff(np.append(gr0, sigma))
+    pos = np.arange(sigma, dtype=np.int64) - np.repeat(gr0, counts)
+    NG = len(gr0)
+    grp_of = np.repeat(np.arange(NG, dtype=np.int64), counts)
+    spans = []
+    for d in range(smax + 1):
+        starts = np.flatnonzero((pos & ((1 << d) - 1)) == 0)
+        ends = np.append(starts[1:], sigma) - 1
+        sp = v[ends] - v[starts]
+        out = np.zeros(NG, dtype=np.int64)
+        np.maximum.at(out, grp_of[starts], sp)
+        spans.append(out)
+    return spans, counts
+
+
+def plan_rank_planes(layout: "GroupLayout", vals: np.ndarray):
+    """Pick the cheapest representation for a per-live-rank u32 table:
+    direct packed planes over dense ranks, or per-group-density
+    anchor + resid planes over a padded index space.  Returns
+    (planes tuple, packed g_prank0 u32 (NG,) or None)."""
+    direct = pack_planes(vals)
+    rows_direct = sum(p.rows for p in direct)
+    if rows_direct <= 4:
+        return direct, None
+    smax = max(_ANCHOR_STRIDES)
+    spans, counts = _group_spans(layout, vals, smax)
+    NG = layout.num_groups
+
+    def plane_cost(nent, maxval, bits=None):
+        if maxval == 0 or nent == 0:
+            return 0
+        if bits is None:
+            if maxval < (1 << 16):
+                return plane_cost(nent, maxval, _min_bits(maxval))
+            return (plane_cost(nent, 0xFFFF, 16)
+                    + plane_cost(nent, maxval >> 16,
+                                 _min_bits(maxval >> 16)))
+        words = -(-nent // (32 // bits))
+        return max(1, -(-words // 128))
+
+    vmax = int(np.asarray(vals).max(initial=0))
+    best = None  # (rows, s, b, d_g)
+    for s in _ANCHOR_STRIDES:
+        stride = 1 << s
+        for b in _RESID_BITS:
+            # per group: densest anchor level whose span fits b bits
+            # (d_g = 0: every rank its own anchor, no resid read — the
+            # group lives past the resid plane's end, where the scan
+            # lookup naturally contributes 0)
+            d_g = np.zeros(NG, dtype=np.int64)
+            for d in range(1, s + 1):
+                d_g = np.where(spans[d] < (1 << b), d, d_g)
+            adv = s - d_g
+            L = ((counts << adv) + stride - 1) >> s << s
+            plen_a = int(L[d_g > 0].sum())   # resid-covered prefix
+            plen = int(L.sum())
+            rows = plane_cost(plen >> s, vmax)
+            rows += plane_cost(plen_a, (1 << b) - 1, b)
+            if rows < (best[0] if best is not None else rows_direct):
+                best = (rows, s, b, d_g)
+    if best is None:
+        return direct, None
+    _, s, b, d_g = best
+    stride = 1 << s
+    adv = s - d_g
+    L = ((counts << adv) + stride - 1) >> s << s
+    # resid-bearing groups first: the resid plane covers only their
+    # prefix of the padded space; exact-anchor (d_g = 0) groups follow
+    order = np.argsort(d_g == 0, kind="stable")
+    pr0 = np.zeros(NG, dtype=np.int64)
+    pr0[order] = np.concatenate(([0], np.cumsum(L[order])[:-1]))
+    plen = int(L.sum())
+    plen_a = int(L[d_g > 0].sum())
+    # scatter values to padded positions
+    gr0 = layout.g_rank0.astype(np.int64)
+    pos = (np.arange(layout.sigma, dtype=np.int64)
+           - np.repeat(gr0, counts))
+    ppos = np.repeat(pr0, counts) + (pos << np.repeat(adv, counts))
+    tab = np.zeros(plen, dtype=np.int64)
+    tab[ppos] = np.asarray(vals, dtype=np.int64)
+    lv = np.zeros(plen, dtype=bool)
+    lv[ppos] = True
+    t2 = np.where(lv, tab, np.int64(1) << 62).reshape(-1, stride)
+    blkmin = t2.min(axis=1)
+    # empty blocks (pure padding) never looked up; zero their anchor
+    blkmin = np.where(blkmin == np.int64(1) << 62, 0, blkmin)
+    resid = np.where(lv, tab - np.repeat(blkmin, stride), 0)[:plen_a]
+    assert int(resid.max(initial=0)) < (1 << b)
+    planes = pack_planes(blkmin.astype(np.uint32), s, True)
+    if plen_a:
+        planes = planes + (_pack_plane(resid.astype(np.uint32), b, 0,
+                                       0, True),)
+    gpr = (pr0 | (adv << PRANK_SHIFT_BITS)).astype(np.uint32)
+    return planes, gpr
 
 
 @dataclass(frozen=True)
@@ -232,9 +383,10 @@ class GroupTable:
     layout: GroupLayout
     val_planes: tuple      # () when value == rank (identity)
     high_planes: tuple     # fold/msb reconstruction (per rank)
-    nb_plane: Plane | None  # exception byte counts (per rank)
+    nb_plane: Plane | None  # exception byte counts (per dense rank)
     has_exc: bool
     max_nb: int
+    g_prank0: np.ndarray | None = None  # u32 (NG,) padded rank starts
 
     @property
     def sigma(self):
@@ -248,6 +400,10 @@ class GroupTable:
     def log2m(self):
         return self.layout.log2m
 
+    @property
+    def needs_prank(self) -> bool:
+        return any(p.padded for p in self.val_planes + self.high_planes)
+
 
 def build_group_table(layout: GroupLayout,
                       sym_high: np.ndarray | None = None,
@@ -255,14 +411,19 @@ def build_group_table(layout: GroupLayout,
     if sym_high is not None:
         high = np.asarray(sym_high, dtype=np.uint32)[layout.perm]
         nbr = np.asarray(sym_nb, dtype=np.uint32)[layout.perm]
+        planes, gpr = plan_rank_planes(layout, high)
         return GroupTable(layout=layout, val_planes=(),
-                          high_planes=pack_planes(high),
+                          high_planes=planes,
                           nb_plane=_pack_plane(nbr, 2, 0), has_exc=True,
-                          max_nb=int(nbr.max()))
+                          max_nb=int(nbr.max()), g_prank0=gpr)
     val = layout.perm
     identity = bool((val == np.arange(layout.sigma,
                                       dtype=np.uint32)).all())
-    return GroupTable(layout=layout,
-                      val_planes=() if identity else pack_planes(val),
+    if identity:
+        return GroupTable(layout=layout, val_planes=(),
+                          high_planes=(), nb_plane=None, has_exc=False,
+                          max_nb=0, g_prank0=None)
+    planes, gpr = plan_rank_planes(layout, val)
+    return GroupTable(layout=layout, val_planes=planes,
                       high_planes=(), nb_plane=None, has_exc=False,
-                      max_nb=0)
+                      max_nb=0, g_prank0=gpr)

@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .grouped import PRANK_MASK as _PRANK_MASK
+from .grouped import PRANK_SHIFT_BITS as _PRANK_SHIFT_BITS
 from .tables import A_L, max_renorm_rounds
 
 
@@ -790,9 +792,10 @@ def _plane_lookup(rows_arr, idx, nrows, bits, B):
 
 
 def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
-                    gmg_ref, *rest, S, R, TC, T_SEC, NGr, WR, log2m, M,
-                    gdepth, gprows, planespec, nbrows, has_exc, NR, NE,
-                    split_win, rowmm=False):
+                    gmg_ref, gpr_ref, *rest, S, R, TC, T_SEC, NGr, WR,
+                    log2m, M, gdepth, gprows, planespec, nbrows,
+                    has_exc, NR, NE, split_win, use_prank=False,
+                    rowmm=False):
     from .pallas_encode import _mulhi32
     gpiv_refs = rest[:gdepth]
     plane_refs = rest[gdepth:gdepth + len(planespec)]
@@ -821,6 +824,7 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
     gf = gf_ref[:]
     gr0 = gr0_ref[:]
     gmg = gmg_ref[:]
+    gpr = gpr_ref[:] if use_prank else None
     gpivs = [p[:] for p in gpiv_refs]
     # small planes are hoisted to values once; large planes stay REFS so
     # _plane_lookup's fori_loop can dynamic-slice row chunks (bounded
@@ -849,7 +853,11 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
             take = slot >= pv
             m = m + m + take.astype(jnp.int32)
             lb = jnp.where(take, pv, lb)
-        f, r0, mg = _lookup_multi((gf, gr0, gmg), m, NGr, R)
+        if use_prank:
+            f, r0, mg, prw = _lookup_multi((gf, gr0, gmg, gpr), m,
+                                           NGr, R)
+        else:
+            f, r0, mg = _lookup_multi((gf, gr0, gmg), m, NGr, R)
         x = slot - lb
         # j = x / f exactly: GM multiply-high; f == 1 selected around
         e = _lsr(pltpu.bitcast((f - 1).astype(jnp.float32), jnp.int32),
@@ -859,6 +867,14 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
         j = _lsr(mh + _lsr(x - mh, 1), sh)
         j = jnp.where(f == 1, x, j)
         rank = r0 + j
+        if use_prank:
+            # packed per-group word: padded start | advance << 27
+            # (ops/grouped.plan_rank_planes per-group anchor density)
+            prank = ((prw & _PRANK_MASK)
+                     + jax.lax.shift_left(j, _lsr(prw,
+                                                  _PRANK_SHIFT_BITS)))
+        else:
+            prank = rank
         st0 = f * _lsr(state, log2m) + (x - j * f)
         st0 = jnp.where(valid, st0, state)
         ms = [(valid & (st0 < (L >> (8 * jj)))).astype(jnp.int32)
@@ -872,9 +888,16 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
                                         split_win=split_win,
                                         rowmask=rmask)
         if planespec:
+            # composed by ADDITION: direct planes are disjoint
+            # bitfields (sum == or) and anchored planes carry real
+            # anchor + residual adds (ops/grouped.plan_rank_planes)
             comp = jnp.zeros((R, 128), jnp.int32)
-            for pref, (bits, rows, shift) in zip(planes, planespec):
-                comp = comp | (_plane_lookup(pref, rank, rows, bits, R)
+            for pref, (bits, rows, shift, ixs, pad) in zip(planes,
+                                                           planespec):
+                idx = prank if pad else rank
+                if ixs:
+                    idx = _lsr(idx, ixs)
+                comp = comp + (_plane_lookup(pref, idx, rows, bits, R)
                                << shift)
         elif has_exc:
             comp = jnp.zeros((R, 128), jnp.int32)  # all-zero high table
@@ -895,11 +918,11 @@ def _kernel_grouped(states_ref, n_ref, stream_ref, gf_ref, gr0_ref,
                                     "WR", "SWr", "log2m", "M", "gdepth",
                                     "gprows", "planespec", "nbrows",
                                     "has_exc", "NR", "NE", "split_win",
-                                    "rowmm", "interpret"))
-def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
-                  T_SEC, NSEC, NGr, WR, SWr, log2m, M, gdepth, gprows,
+                                    "use_prank", "rowmm", "interpret"))
+def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, gpr, *rest, S, R,
+                  TC, T_SEC, NSEC, NGr, WR, SWr, log2m, M, gdepth, gprows,
                   planespec, nbrows, has_exc, NR, NE, split_win=False,
-                  rowmm=False, interpret=False):
+                  use_prank=False, rowmm=False, interpret=False):
     num_tc = T_SEC // TC
     nextra = gdepth + len(planespec) + (1 if has_exc else 0)
     out = pl.pallas_call(
@@ -907,7 +930,8 @@ def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
                           NGr=NGr, WR=WR, log2m=log2m, M=M, gdepth=gdepth,
                           gprows=gprows, planespec=planespec,
                           nbrows=nbrows, has_exc=has_exc, NR=NR, NE=NE,
-                          split_win=split_win, rowmm=rowmm),
+                          split_win=split_win, use_prank=use_prank,
+                          rowmm=rowmm),
         grid=(NSEC, num_tc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # states
@@ -917,6 +941,7 @@ def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
             pl.BlockSpec(memory_space=pltpu.VMEM),          # g_f
             pl.BlockSpec(memory_space=pltpu.VMEM),          # g_rank0
             pl.BlockSpec(memory_space=pltpu.VMEM),          # g_magic
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # g_prank0
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nextra,
         out_specs=pl.BlockSpec((1, TC, R, 128),
                                lambda s, t: (s, t, 0, 0),
@@ -928,7 +953,7 @@ def _call_grouped(stream3d, states2d, n, gf, gr0, gmg, *rest, S, R, TC,
         ],
         interpret=interpret,
     )(states2d, jnp.asarray([[n]], jnp.int32), stream3d, gf, gr0, gmg,
-      *rest)
+      gpr, *rest)
     return out.reshape(NSEC * T_SEC, S)
 
 
@@ -964,7 +989,8 @@ def stage_grouped(payload: np.ndarray, states: np.ndarray, gt, n: int, *,
         r = max(1, -(-len(p) // 128))
         gprows.append(r)
         gpivs.append(jnp.asarray(_pad_rows(p.view(np.int32), r)))
-    planespec = tuple((p.bits, p.rows, p.shift) for p in planes)
+    planespec = tuple((p.bits, p.rows, p.shift, p.idx_shift, p.padded)
+                      for p in planes)
     plane_arrs = [jnp.asarray(_pad_rows(p.words.view(np.int32), p.rows))
                   for p in planes]
     rest = tuple(gpivs) + tuple(plane_arrs)
@@ -973,20 +999,25 @@ def stage_grouped(payload: np.ndarray, states: np.ndarray, gt, n: int, *,
         nbrows = gt.nb_plane.rows
         rest += (jnp.asarray(_pad_rows(gt.nb_plane.words.view(np.int32),
                                        nbrows)),)
+    use_prank = gt.needs_prank
+    gpr_np = (gt.g_prank0.view(np.int32) if use_prank
+              else np.zeros(1, np.int32))
     dev = jnp.asarray if to_device else (lambda x: x)
     args = (dev(stream3d),
             dev(states.view(np.int32).reshape(R, 128)),
             n,
             jnp.asarray(_pad_rows(lay.g_f.view(np.int32), NGr)),
             jnp.asarray(_pad_rows(lay.g_rank0.view(np.int32), NGr)),
-            jnp.asarray(_pad_rows(lay.g_magic.view(np.int32), NGr))
+            jnp.asarray(_pad_rows(lay.g_magic.view(np.int32), NGr)),
+            jnp.asarray(_pad_rows(gpr_np, NGr if use_prank else 1))
             ) + rest
     kw = dict(S=S, R=R, TC=TC, T_SEC=t_sec, NSEC=stream3d.shape[0],
               NGr=NGr, WR=WR, SWr=stream3d.shape[1], log2m=lay.log2m,
               M=lay.frame_size, gdepth=lay.slot_depth,
               gprows=tuple(gprows), planespec=planespec, nbrows=nbrows,
               has_exc=gt.has_exc, NR=NR, NE=NE, split_win=split_win,
-              rowmm=_rowmm_env(), interpret=interpret)
+              use_prank=use_prank, rowmm=_rowmm_env(),
+              interpret=interpret)
     return args, kw
 
 

@@ -356,10 +356,26 @@ class BlockCodec:
         nfreqs = adjust_freqs(freqs, max_sym, self.kind != "int",
                               self.h_approx, lane_frame_cap(None))
         prelude = serialize_prelude(nfreqs, int(nfreqs.sum()))
+        # identity kind over a huge live alphabet: tail-escape recoding
+        # (ops/escape.py) — the frame folds, the prelude stays true,
+        # decode re-derives the same plan from the prelude
+        plan = None
+        if self.kind == "int":
+            from ..ops import escape as escape_mod
+            plan = escape_mod.plan_from_freqs(nfreqs)
+        if plan is not None:
+            m_np, k_np, b_np = plan.map_values(vals)
+            mapped = jnp.asarray(m_np)
+            k = jnp.asarray(k_np)
+            b = jnp.asarray(b_np)
+            frame_freqs = plan.frame_freqs
+        else:
+            frame_freqs = nfreqs
         from ..ops import grouped as grouped_mod
-        layout = (grouped_mod.build_group_layout(nfreqs)
-                  if grouped_mod.use_grouped_layout(nfreqs) else None)
-        et = tables.build_enc_table(nfreqs, layout)
+        layout = (grouped_mod.build_group_layout(frame_freqs)
+                  if grouped_mod.use_grouped_layout(frame_freqs)
+                  else None)
+        et = tables.build_enc_table(frame_freqs, layout)
 
         S = self.lanes or config.default_lane_count(B)
         T = lane_codec.lane_steps(B, S)
@@ -372,7 +388,7 @@ class BlockCodec:
 
         if (self.engine == "pallas"
                 and self._encode_pallas_ok(et, S, layout)):
-            if layout is not None and self.kind == "int":
+            if layout is not None and self.kind == "int" and plan is None:
                 # raw alphabet: one host rank remap replaces the scan's
                 # sigma-scaling table lookups (the values are host-side
                 # here; device-mapped kinds use in-kernel rank planes)
@@ -549,30 +565,31 @@ class BlockCodec:
         nfreqs, _ = load_prelude(blob[pos:pos + plen + 8])
         pos += plen
 
-        from ..ops import grouped as grouped_mod
-        layout = (grouped_mod.build_group_layout(nfreqs)
-                  if grouped_mod.use_grouped_layout(nfreqs) else None)
         syms = np.arange(len(nfreqs), dtype=np.uint32)
-        if kind == "msb":
-            dt = tables.build_dec_table(nfreqs, map_np.msb_unmap_high(syms),
-                                        map_np.msb_exception_bytes(syms),
-                                        layout=layout,
-                                        slots=layout is None)
-        elif kind in ("fold", "rfold"):
-            high, nb = map_np.fold_unmap_high(syms, fid)
-            if kind == "rfold":
-                thres = fold_threshold(fid)
-                if mf is not None:
-                    high = np.where(
-                        syms < thres, mf[np.minimum(syms, thres - 1)],
-                        high - np.uint32(thres)).astype(np.uint32)
-                else:
-                    high = np.where(syms < thres, syms,
-                                    high).astype(np.uint32)
-            dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
-                                        slots=layout is None)
+        if kind == "int":
+            # tail-escape / grouped / plain, derived from the prelude
+            # exactly like the unblocked codec
+            from ..models.ans import _int_dec_table
+            dt = _int_dec_table(nfreqs)
         else:
-            dt = tables.build_dec_table(nfreqs, layout=layout,
+            from ..ops import grouped as grouped_mod
+            layout = (grouped_mod.build_group_layout(nfreqs)
+                      if grouped_mod.use_grouped_layout(nfreqs) else None)
+            if kind == "msb":
+                high = map_np.msb_unmap_high(syms)
+                nb = map_np.msb_exception_bytes(syms)
+            else:  # fold / rfold
+                high, nb = map_np.fold_unmap_high(syms, fid)
+                if kind == "rfold":
+                    thres = fold_threshold(fid)
+                    if mf is not None:
+                        high = np.where(
+                            syms < thres, mf[np.minimum(syms, thres - 1)],
+                            high - np.uint32(thres)).astype(np.uint32)
+                    else:
+                        high = np.where(syms < thres, syms,
+                                        high).astype(np.uint32)
+            dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
                                         slots=layout is None)
         has_exc = dt.has_exc
 

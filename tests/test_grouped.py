@@ -32,10 +32,14 @@ def big_sparse():
 @pytest.fixture(scope="module")
 def big_dense():
     """every value 0..11999 present (still needs the val planes: rank
-    order is frequency-sorted, not value order)."""
+    order is frequency-sorted, not value order).  Tail frequencies
+    alternate 1/2 so the escape recoding's Jensen-gap loss exceeds its
+    budget and the wire stays on the grouped layout (ops/escape.py
+    declines; this file tests the grouped engine)."""
     rng = np.random.default_rng(8)
     extra = (rng.zipf(1.5, size=30000) - 1).clip(0, 11999)
     return np.concatenate([np.arange(12000, dtype=np.uint32),
+                           np.arange(0, 12000, 2, dtype=np.uint32),
                            extra.astype(np.uint32)])
 
 
