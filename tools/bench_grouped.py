@@ -130,27 +130,32 @@ def main():
             rows.append(row)
 
     if args.write:
-        with open(os.path.join(root, "BENCH_DETAIL.md"), "a") as f:
-            f.write("\n## Large alphabets (frequency-grouped engine)\n\n")
-            f.write(f"n = 2^{args.n}, S = {args.lanes}, seed-0 datasets "
-                    f"matching the C++ rows in BASELINE_MEASURED.json "
-                    f"large_alphabet (tools/ref_harness.cpp); min of "
-                    f"{args.runs}.  Generated by tools/bench_grouped."
-                    f"py.\n\n")
-            f.write("| method | dataset | sigma | engine | bpi | C++ bpi "
-                    "| dec M/s | C++ dec | ratio | enc M/s | C++ enc | "
-                    "ratio | ok |\n")
-            f.write("|---|---|---|---|---|---|---|---|---|---|---|---|"
-                    "---|\n")
-            for r in rows:
-                f.write(f"| {r['method']} | {r['dataset']} | "
+        body = ["## Large alphabets (tail-escape / grouped engines)\n",
+                f"n = 2^{args.n}, S = {args.lanes}, seed-0 datasets "
+                f"matching the C++ rows in BASELINE_MEASURED.json "
+                f"large_alphabet (tools/ref_harness.cpp); min of "
+                f"{args.runs}.  Generated by tools/bench_grouped.py."
+                f"  engine `search` on an ANS row means the tail-escape "
+                f"recoding engaged (ops/escape.py: <= 0.15% exactly-"
+                f"accounted size trade, see the bpi columns); `grouped` "
+                f"means the frequency-grouped layout with anchored "
+                f"value planes.\n",
+                "| method | dataset | sigma | engine | bpi | C++ bpi "
+                "| dec M/s | C++ dec | ratio | enc M/s | C++ enc | "
+                "ratio | ok |",
+                "|---|---|---|---|---|---|---|---|---|---|---|---|---|"]
+        for r in rows:
+            body.append(f"| {r['method']} | {r['dataset']} | "
                         f"{r['sigma']} | {r['engine']} | {r['bpi']} | "
                         f"{r['cpp_bpi']} | {r['dev_decode_mips']} | "
                         f"{r['cpp_decode_mips']} | **{r['dec_ratio']}x**"
                         f" | {r['dev_encode_mips']} | "
                         f"{r['cpp_encode_mips']} | **{r['enc_ratio']}x**"
-                        f" | {r['ok']} |\n")
-        print("appended to BENCH_DETAIL.md")
+                        f" | {r['ok']} |")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import _bench_doc
+        _bench_doc.replace_section("large_alphabet", "\n".join(body))
+        print("replaced section large_alphabet in BENCH_DETAIL.md")
 
 
 if __name__ == "__main__":
