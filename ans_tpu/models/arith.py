@@ -82,23 +82,38 @@ def _scale_counts(counts: np.ndarray, total_log2: int) -> np.ndarray:
     return s
 
 
+# beyond this live-alphabet size the frequency table itself is coded by
+# a RECURSIVE arith pass instead of the interp cumulative — the twin of
+# the reference's PREL_RECURSE scheme (arith.hpp:280-286,405-411); the
+# recursion terminates because each level's alphabet is the set of
+# distinct frequency values of the previous one
+PREL_ARITH_MIN_SIGMA = 1025
+_MAX_PREL_DEPTH = 8
+
+
 class Arith:
     name = "arith"
+
+    def __init__(self, _depth: int = 0):
+        self._depth = _depth
 
     def encode(self, values) -> bytes:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
         t0 = time.perf_counter_ns()
+        lib = _native()
         max_sym = int(values.max())
-        counts = np.bincount(values, minlength=max_sym + 1)
+        counts = (lib.hist_u32(values, max_sym + 1) if lib is not None
+                  else np.bincount(values, minlength=max_sym + 1))
         syms = np.flatnonzero(counts)
         sigma = len(syms)
-        total_log2 = max(16, sigma.bit_length() + 1)
-        if total_log2 > 31:
-            raise ValueError(
-                f"arith baseline caps the model total at 2^31 "
-                f"(sigma={sigma} would need 2^{total_log2})")
+        # model total ~ n: scaled freqs stay near the exact counts (the
+        # reference codes with the EXACT counts, total = n; the old
+        # sigma-driven total quantized zipf-2^20 to avg freq 2 and lost
+        # ~0.4 bits/int to the per-symbol >= 1 floors)
+        total_log2 = min(31, max(16, sigma.bit_length() + 1,
+                                 (len(values) - 1).bit_length()))
         freq = _scale_counts(counts[syms], total_log2)
         cum = np.concatenate(([0], np.cumsum(freq)))
         total = int(cum[-1])
@@ -110,19 +125,28 @@ class Arith:
         pre = interp.encode(syms, sigma, max_sym + 1)
         out += vbyte.encode_u32(len(pre))
         out += pre
-        inc = np.cumsum(freq + 1) - 1
-        pre2 = interp.encode(inc, sigma, total + sigma + 1)
-        out += vbyte.encode_u32(len(pre2))
-        out += pre2
+        if (sigma >= PREL_ARITH_MIN_SIGMA
+                and self._depth < _MAX_PREL_DEPTH):
+            out.append(1)  # recursive-arith frequency table
+            sub = Arith(self._depth + 1).encode(
+                (freq - 1).astype(np.uint32))
+            out += vbyte.encode_u32(len(sub))
+            out += sub
+        else:
+            out.append(0)  # interp cumulative frequency table
+            inc = np.cumsum(freq + 1) - 1
+            pre2 = interp.encode(inc, sigma, total + sigma + 1)
+            out += vbyte.encode_u32(len(pre2))
+            out += pre2
         t1 = time.perf_counter_ns()
 
-        rank = np.zeros(max_sym + 1, dtype=np.int64)
-        rank[syms] = np.arange(sigma)
-        ids = rank[values]
-        lib = _native()
+        rank = np.zeros(max_sym + 1, dtype=np.uint32)
+        rank[syms] = np.arange(sigma, dtype=np.uint32)
         if lib is not None:
+            ids = lib.remap_u32(rank, values)
             payload = lib.arith_encode(cum, freq, ids, total_log2)
         else:
+            ids = rank[values]
             payload = self._encode_payload_python(cum, freq, ids, total)
         record_stats(prelude_bytes=len(out), encode_bytes=len(payload),
                      prelude_time_ns=t1 - t0,
@@ -170,14 +194,31 @@ class Arith:
         plen, pos = vbyte.decode_u32(buf, pos)
         syms, _ = interp.decode(buf[pos:pos + plen + 8], sigma, max_sym + 1)
         pos += plen
-        plen2, pos = vbyte.decode_u32(buf, pos)
+        if pos >= len(buf):
+            raise ValueError("corrupt arith stream: truncated prelude")
+        mode = buf[pos]
+        pos += 1
         total = 1 << total_log2
-        inc, _ = interp.decode(buf[pos:pos + plen2 + 8], sigma,
-                               total + sigma + 1)
-        pos += plen2
-        inc = np.asarray(inc, dtype=np.int64)
-        freq = np.diff(np.concatenate(([-1], inc))) - 1
-        freq[0] = int(inc[0])
+        if mode == 1:
+            if self._depth >= _MAX_PREL_DEPTH:
+                raise ValueError("corrupt arith stream: prelude "
+                                 "recursion too deep")
+            plen2, pos = vbyte.decode_u32(buf, pos)
+            sub = Arith(self._depth + 1).decode(buf[pos:pos + plen2],
+                                                sigma)
+            pos += plen2
+            freq = sub.astype(np.int64) + 1
+        elif mode == 0:
+            plen2, pos = vbyte.decode_u32(buf, pos)
+            inc, _ = interp.decode(buf[pos:pos + plen2 + 8], sigma,
+                                   total + sigma + 1)
+            pos += plen2
+            inc = np.asarray(inc, dtype=np.int64)
+            freq = np.diff(np.concatenate(([-1], inc))) - 1
+            freq[0] = int(inc[0])
+        else:
+            raise ValueError(
+                f"corrupt arith stream: unknown prelude mode {mode}")
         # corrupt-wire guard BEFORE either coder loop: a zero/negative
         # frequency (non-increasing interp prelude) makes rng collapse
         # to 0 and the next (code-low)/r divide by zero — SIGFPE in the

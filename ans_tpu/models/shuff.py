@@ -39,12 +39,22 @@ def _native():
 def code_lengths(freqs: np.ndarray) -> np.ndarray:
     """Optimal prefix-code lengths for positive freqs (Huffman tree depth;
     same lengths as the reference's in-place Moffat-Katajainen
-    calculation, shuff.hpp:451-513).  Heap merge + one top-down depth
-    pass over the parent array (parents are created after children, so a
-    reverse-creation-order sweep resolves every depth)."""
+    calculation, shuff.hpp:451-513).  Native path: sort + O(sigma)
+    two-queue merge (the Python heap loop below capped encode at ~3M
+    ints/s on sigma ~ 10^6 alphabets); heap merge + one top-down depth
+    pass over the parent array as the no-native fallback (parents are
+    created after children, so a reverse-creation-order sweep resolves
+    every depth)."""
     sigma = len(freqs)
     if sigma == 1:
         return np.array([1], dtype=np.int64)
+    lib = _native()
+    if lib is not None:
+        order = np.argsort(freqs, kind="stable")
+        out = np.empty(sigma, dtype=np.int64)
+        out[order] = lib.huff_code_lengths(
+            np.asarray(freqs, dtype=np.uint64)[order])
+        return out
     import heapq
     h = [(int(f), i) for i, f in enumerate(freqs)]
     heapq.heapify(h)
@@ -184,8 +194,10 @@ class Shuff:
         if len(values) == 0:
             raise ValueError("cannot encode an empty sequence")
         t0 = time.perf_counter_ns()
+        lib = _native()
         max_sym = int(values.max())
-        counts = np.bincount(values, minlength=max_sym + 1)
+        counts = (lib.hist_u32(values, max_sym + 1) if lib is not None
+                  else np.bincount(values, minlength=max_sym + 1))
         syms = np.flatnonzero(counts)
         sigma = len(syms)
         lens = limited_code_lengths(counts[syms])
@@ -203,11 +215,18 @@ class Shuff:
                           np.full(sigma, 6, np.int64))
         prelude_len = len(out)
         t1 = time.perf_counter_ns()
-        # payload: rank-map values to dense ids, pack their codes
+        # payload: rank-map values to dense ids (native gather) and let
+        # shuff_pack's own codes[id]/lens[id] indexing do the rest —
+        # the numpy codes[rank[values]] double gather cost ~1.5 s at
+        # n = 2^25
         rank = np.zeros(max_sym + 1, dtype=np.uint32)
         rank[syms] = np.arange(sigma, dtype=np.uint32)
-        ids = rank[values]
-        out += self._pack(codes[ids], lens[ids])
+        if lib is not None:
+            ids = lib.remap_u32(rank, values)
+            out += lib.shuff_pack(ids, codes.astype(np.uint32), lens)
+        else:
+            ids = rank[values]
+            out += self._pack(codes[ids], lens[ids])
         record_stats(prelude_bytes=prelude_len,
                      encode_bytes=len(out) - prelude_len,
                      prelude_time_ns=t1 - t0,

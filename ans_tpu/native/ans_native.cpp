@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -342,6 +343,63 @@ void hist_u8(const uint8_t* data, int64_t n, uint64_t* out256) {
     for (; i < n; i++) h[0][data[i]]++;
     for (int s = 0; s < 256; s++)
         out256[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+}
+
+// u32 value histogram (np.bincount replacement for the model pass of
+// the host coders: bincount measured ~19M vals/s on 1M bins, this loop
+// is cache-bound at ~150-300M).  Caller zeroes `out` (nbins entries)
+// and guarantees every value < nbins.
+void hist_u32(const uint32_t* data, int64_t n, uint64_t* out) {
+    for (int64_t i = 0; i < n; i++) out[data[i]]++;
+}
+
+// gather out[i] = table[idx[i]] (the value -> dense-rank remap of the
+// host coders; numpy fancy indexing pays ~1 s on 33M elements)
+void remap_u32(const uint32_t* table, const uint32_t* idx, int64_t n,
+               uint32_t* out) {
+    for (int64_t i = 0; i < n; i++) out[i] = table[idx[i]];
+}
+
+// Optimal prefix-code lengths for an ASCENDING-sorted positive
+// frequency array: two-queue Huffman merge, O(sigma) — the compiled
+// replacement for the Python heap loop that capped shuff encode at
+// ~3M ints/s on sigma ~ 10^6 alphabets (reference counterpart:
+// shuff.hpp:451-513 Moffat-Katajainen in-place calculation; same
+// lengths, different construction).  out_lens per sorted position.
+void huff_code_lengths(const uint64_t* f, int64_t sigma,
+                       int64_t* out_lens) {
+    if (sigma == 1) {
+        out_lens[0] = 1;
+        return;
+    }
+    std::vector<int64_t> parent(2 * sigma - 1, -1);
+    std::vector<uint64_t> w(sigma - 1);
+    int64_t li = 0, qh = 0, next = sigma;
+    for (int64_t step = 0; step < sigma - 1; ++step) {
+        int64_t a, b;
+        uint64_t wa, wb;
+        if (li < sigma && (qh >= next - sigma || f[li] <= w[qh])) {
+            a = li;
+            wa = f[li++];
+        } else {
+            a = sigma + qh;
+            wa = w[qh++];
+        }
+        if (li < sigma && (qh >= next - sigma || f[li] <= w[qh])) {
+            b = li;
+            wb = f[li++];
+        } else {
+            b = sigma + qh;
+            wb = w[qh++];
+        }
+        parent[a] = parent[b] = next;
+        w[next - sigma] = wa + wb;
+        next++;
+    }
+    std::vector<int32_t> depth(2 * sigma - 1, 0);
+    for (int64_t node = 2 * sigma - 3; node >= 0; --node)
+        depth[node] = depth[parent[node]] + 1;
+    for (int64_t i = 0; i < sigma; i++) out_lens[i] = depth[i];
 }
 
 // payload must be readable for 8 bytes past any bit position (caller

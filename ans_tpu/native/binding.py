@@ -46,6 +46,12 @@ class NativeLib:
                                   _u32p, _u8p, ct.c_int64]
         c.hist_u8.restype = None
         c.hist_u8.argtypes = [_u8p, ct.c_int64, _u64p]
+        c.hist_u32.restype = None
+        c.hist_u32.argtypes = [_u32p, ct.c_int64, _u64p]
+        c.remap_u32.restype = None
+        c.remap_u32.argtypes = [_u32p, _u32p, ct.c_int64, _u32p]
+        c.huff_code_lengths.restype = None
+        c.huff_code_lengths.argtypes = [_u64p, ct.c_int64, _i64p]
         c.tans_decode.restype = ct.c_int64
         c.tans_decode.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u32p,
                                   _u8p, _u32p, ct.c_int64, _u32p, _u8p]
@@ -257,6 +263,30 @@ class NativeLib:
         out = np.empty(256, np.uint64)
         self._c.hist_u8(np.ascontiguousarray(data, np.uint8), len(data),
                         out)
+        return out
+
+    def hist_u32(self, data: np.ndarray, nbins: int) -> np.ndarray:
+        """u32 histogram (caller guarantees data < nbins)."""
+        out = np.zeros(nbins, np.uint64)
+        self._c.hist_u32(np.ascontiguousarray(data, np.uint32),
+                         len(data), out)
+        return out
+
+    def remap_u32(self, table: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """out[i] = table[idx[i]] (caller guarantees idx < len(table))."""
+        out = np.empty(len(idx), np.uint32)
+        self._c.remap_u32(np.ascontiguousarray(table, np.uint32),
+                          np.ascontiguousarray(idx, np.uint32),
+                          len(idx), out)
+        return out
+
+    def huff_code_lengths(self, sorted_freqs: np.ndarray) -> np.ndarray:
+        """Huffman code lengths for an ASCENDING-sorted positive
+        frequency array (two-queue merge)."""
+        out = np.empty(len(sorted_freqs), np.int64)
+        self._c.huff_code_lengths(
+            np.ascontiguousarray(sorted_freqs, np.uint64),
+            len(sorted_freqs), out)
         return out
 
     # ---- transforms ------------------------------------------------------

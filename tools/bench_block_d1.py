@@ -103,8 +103,8 @@ def main():
         dt = tables.build_dec_table(nfreqs, high, nb, layout=layout,
                                     slots=layout is None)
     else:
-        dt = tables.build_dec_table(nfreqs, layout=layout,
-                                    slots=layout is None)
+        from ans_tpu.models.ans import _int_dec_table
+        dt = _int_dec_table(nfreqs)  # escape/grouped/plain, like decode
     B = -(-n // D)
     n_sec = np.clip(n - B * np.arange(D), 0, B).astype(np.int32)
     secs = []
