@@ -90,10 +90,14 @@ def main():
                        for _ in range(args.runs))
             dec_ips = n / best
 
-            # live symbol count from the wire prelude (ANS/ANSmsb blobs
-            # open with it directly)
-            nfq, _ = load_prelude(blob)
-            sigma = int(np.count_nonzero(nfq))
+            # live symbol count from the wire prelude; rfold blobs open
+            # with the reorder header, so parse via the codec there
+            if method.startswith("ANSrfold"):
+                dt, _off = codec._dec_table(blob)
+                sigma = int(np.count_nonzero(dt.nfreqs))
+            else:
+                nfq, _ = load_prelude(blob)
+                sigma = int(np.count_nonzero(nfq))
 
             # --- device-resident encode -------------------------------
             enc_ips = None
@@ -107,8 +111,10 @@ def main():
             except ValueError as e:
                 print(f"  encode prepared skipped: {e}", flush=True)
 
-            bm = base_rows.get(dname, {}).get(
-                "ANSmsb" if method == "ANSmsb" else "ANS", {})
+            ds_rows = base_rows.get(dname, {})
+            bm = ds_rows.get(method,
+                             ds_rows.get("ANSmsb" if method == "ANSmsb"
+                                         else "ANS", {}))
             row = dict(
                 method=method, dataset=dname, ok=ok,
                 sigma=sigma,

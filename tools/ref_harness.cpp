@@ -100,6 +100,26 @@ int main(int argc, char** argv) {
           ans_fold_decompress<3>(d, m, s, c);
         },
         in);
+  if (method == "fold7")
+    run(
+        "ANSfold-7",
+        [](uint8_t* d, size_t c, const uint32_t* s, size_t m) {
+          return ans_fold_compress<7>(d, c, s, m);
+        },
+        [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
+          ans_fold_decompress<7>(d, m, s, c);
+        },
+        in);
+  if (method == "rfold4")
+    run(
+        "ANSrfold-4",
+        [](uint8_t* d, size_t c, const uint32_t* s, size_t m) {
+          return ans_reorder_fold_compress<4>(d, c, s, m);
+        },
+        [](uint32_t* d, size_t m, const uint8_t* s, size_t c) {
+          ans_reorder_fold_decompress<4>(d, m, s, c);
+        },
+        in);
   if (method == "all" || method == "msb")
     run(
         "ANSmsb",
