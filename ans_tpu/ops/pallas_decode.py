@@ -223,9 +223,15 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
     lane_global = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
                    + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
     n_val = n_ref[0, 0]
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
-    w3 = w3_ref[:] if (has_exc and not packed23) else None
+    # big frames keep the slot tables as REFS and scan them through the
+    # bounded-stack fori_loop (_lookup_multi_loop): the unrolled scan's
+    # kernel stack grows with Mr and OOMed at Mr = 512, R = 32
+    big_m = Mr > _PLANE_LOOP_MIN_ROWS
+    w1 = w1_ref if big_m else w1_ref[:]
+    w2 = w2_ref if big_m else w2_ref[:]
+    w3 = ((w3_ref if big_m else w3_ref[:])
+          if (has_exc and not packed23) else None)
+    lookup_multi = _lookup_multi_loop if big_m else _lookup_multi
     rmask = rowmm_mask(R, NR + NE) if (rowmm and R > 1) else None
 
     def step(i, carry):
@@ -236,9 +242,9 @@ def _kernel(states_ref, n_ref, stream_ref, w1_ref, w2_ref, w3_ref,
         # w1/w2(/w3) are all read at the same slot: one fused pass
         # shares the idx decomposition and the Mr row compares
         if has_exc and not packed23:
-            word1, w23, w3v = _lookup_multi((w1, w2, w3), slot, Mr, R)
+            word1, w23, w3v = lookup_multi((w1, w2, w3), slot, Mr, R)
         else:
-            word1, w23 = _lookup_multi((w1, w2), slot, Mr, R)
+            word1, w23 = lookup_multi((w1, w2), slot, Mr, R)
         f = jax.lax.shift_right_logical(word1, 16)
         off = word1 & 0xFFFF
         st0 = f * jax.lax.shift_right_logical(state, log2m) + off
@@ -637,14 +643,21 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     # window: one slice per step covering all rounds (<= (NR+NE)S bytes)
     WR = -(-(512 + (NR + NE) * S) // 512) + 1
     # TC must divide t_sec exactly (grid step t = sec*T_SEC + tc*TC + i
-    # must match the encoder's section cuts)
+    # must match the encoder's section cuts).  The double-buffered out
+    # block shares VMEM with the slot tables and the double-buffered
+    # stream section — subtract them before sizing TC (stage_grouped's
+    # budget discipline; the flat 6MB cap OOMed at Mr = 512, S = 4096)
     R = S // 128
-    while TC * R * 512 * 2 > (6 << 20) and TC > 8:
+    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
+    tab_rows = Mr * (3 if (has_exc and not packed23) else 2)
+    out_budget = max(1 << 20,
+                     (6 << 20) - tab_rows * 512
+                     - 2 * stream3d.shape[1] * 512)
+    while TC * R * 512 * 2 > out_budget and TC > 8:
         TC //= 2
     while t_sec % TC:
         TC //= 2
     t_sec_pad = t_sec
-    stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
     dev = jnp.asarray if to_device else (lambda x: x)
     args = (dev(stream3d),
             dev(states.view(np.int32).reshape(R, 128)),
@@ -743,6 +756,47 @@ def _lookup_multi(tables_, idx, Mr, B, chunk=16):
 # is one program point whose stack is reused every iteration
 _PLANE_LOOP_MIN_ROWS = 32
 _PLANE_LOOP_CHUNK = 32
+
+
+def _lookup_multi_loop(refs, idx, Mr, B, chunk=None):
+    """_lookup_multi over VMEM *refs*, scanning rows in dynamically-
+    sliced chunks inside a fori_loop (bounded kernel stack — the
+    unrolled _lookup_multi at Mr = 512, R = 32 measured a 17.7MB scoped
+    VMEM stack on v5e: Mosaic gives every unrolled program point its
+    own slot; see _lookup_loop).  The hi==row compare is shared across
+    tables like _lookup_multi's."""
+    lo = idx & 127
+    hi = idx >> 7
+    if chunk is None:
+        chunk = max(8, _PLANE_LOOP_CHUNK // len(refs))
+    chunk = min(chunk, Mr)
+    nchunks = -(-Mr // chunk)
+    nt = len(refs)
+
+    def body(c, accs):
+        c0 = jnp.minimum(c * chunk, Mr - chunk)
+        blks = [r[pl.ds(c0, chunk), :] for r in refs]
+        terms = [[] for _ in range(nt)]
+        for j in range(chunk):
+            sel = hi == c0 + j
+            for t in range(nt):
+                row = jnp.broadcast_to(blks[t][j:j + 1, :], (B, 128))
+                terms[t].append(
+                    jnp.where(sel,
+                              jnp.take_along_axis(row, lo, axis=1), 0))
+        outs = []
+        for t in range(nt):
+            ts = terms[t]
+            while len(ts) > 1:
+                nxt = [a | b for a, b in zip(ts[::2], ts[1::2])]
+                if len(ts) & 1:
+                    nxt.append(ts[-1])
+                ts = nxt
+            outs.append(accs[t] | ts[0])
+        return tuple(outs)
+
+    init = tuple(jnp.zeros((B, 128), jnp.int32) for _ in range(nt))
+    return jax.lax.fori_loop(0, nchunks, body, init)
 
 
 def _lookup_loop(pref, idx, nrows, B, chunk=_PLANE_LOOP_CHUNK):
