@@ -101,3 +101,21 @@ def test_pallas_multi_section(zdata):
                                TC=32, interpret=True)
     res = np.asarray(out).reshape(-1)[:n]
     np.testing.assert_array_equal(res, values)
+
+
+def test_pallas_int_big_frame(zdata):
+    """Direct kernel with Mr > _PLANE_LOOP_MIN_ROWS: the slot tables
+    stay VMEM refs scanned by _lookup_multi_loop's fori_loop (the
+    unrolled scan OOMed the Mosaic kernel stack at Mr = 512 on chip).
+    The interpreter run pins the loop path's correctness."""
+    rng = np.random.default_rng(11)
+    v = np.concatenate([
+        (zdata % 6000).astype(np.uint32),
+        rng.integers(0, 6000, 20000).astype(np.uint32)])
+    codec = AnsInt(lanes=128)
+    blob = codec.encode(v)
+    nfreqs, _ = load_prelude(blob)
+    dt = tables.build_dec_table(nfreqs)
+    Mr = -(-dt.frame_size // 128)
+    assert Mr > pallas_decode._PLANE_LOOP_MIN_ROWS, Mr
+    _run(codec, v, 128)
