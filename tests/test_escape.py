@@ -144,3 +144,29 @@ def test_blocked_roundtrip(engaged_values):
     blob = codec.encode(engaged_values)
     out = codec.decode(blob)
     np.testing.assert_array_equal(out, engaged_values)
+
+
+def test_corrupt_escape_wire(engaged_values):
+    """Byte mutations across an escaped wire must decode to garbage or
+    raise ValueError — never crash (the registry-wide corrupt sweep's
+    datasets stay below the escape threshold, so cover it here)."""
+    rng = np.random.default_rng(7)
+    c = AnsInt(lanes=256)
+    blob = bytearray(c.encode(engaged_values))
+    n = len(engaged_values)
+    for _ in range(24):
+        pos = int(rng.integers(0, len(blob)))
+        old = blob[pos]
+        blob[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = c.decode(bytes(blob), n)
+            assert len(out) == n
+        except (ValueError, KeyError):
+            pass
+        blob[pos] = old
+    # truncations at every region boundary
+    for cut in (1, 16, len(blob) // 2, len(blob) - 2):
+        try:
+            c.decode(bytes(blob[:cut]), n)
+        except (ValueError, KeyError, IndexError):
+            pass
