@@ -14,7 +14,13 @@ from ..models.pseudo_adaptive import PseudoAdaptive
 from . import _cli
 
 
-def run(inputs, max_i: int = 20, verify: bool = True):
+def run(inputs, max_i: int = 20, verify: bool = True,
+        lanes: int | None = None):
+    """lanes: pin the per-block lane count — at 21 block sizes x many
+    per-block frames the default-lanes sweep compiles a fresh XLA scan
+    per (S, T, log2m) triple; one S collapses the compile space (the
+    reference's sweep has no such cost: pseudo_adaptive.cpp reuses one
+    scalar coder)."""
     rows = []
     for name, values in inputs:
         for kind in ("int", "msb"):
@@ -22,7 +28,7 @@ def run(inputs, max_i: int = 20, verify: bool = True):
                 bs = 128 * (1 << i)
                 if bs > 4 * len(values):
                     break
-                codec = PseudoAdaptive(bs, kind)
+                codec = PseudoAdaptive(bs, kind, lanes=lanes)
                 blob = codec.encode(values)
                 if verify:
                     np.testing.assert_array_equal(
@@ -37,8 +43,12 @@ def main(argv=None):
     p = _cli.make_parser("block-based ANS sweep")
     p.add_argument("--max-i", type=int, default=20)
     p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--lanes", type=int, default=None)
     args = p.parse_args(argv)
-    run(_cli.load_inputs(args), args.max_i, not args.no_verify)
+    from .. import runtime
+    runtime.enable_compilation_cache()
+    run(_cli.load_inputs(args), args.max_i, not args.no_verify,
+        lanes=args.lanes)
 
 
 if __name__ == "__main__":

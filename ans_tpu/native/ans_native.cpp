@@ -245,10 +245,20 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
     int64_t used = 0;
     if (max_len < 1 || max_len > 64) return -1;  // shift below needs l<=64
     for (int64_t i = 0; i < n; i++) {
-        while (nbits <= 56 && pos < nbytes) {
-            acc |= (uint64_t)in[pos++] << (56 - nbits);
-            nbits += 8;
-        }
+        // branchless refill to >= 57 valid bits: one unaligned
+        // big-endian load (the binding pads the buffer with 8 zero
+        // bytes) + a clamped advance so truncation accounting holds.
+        // The old per-byte while loop iterated ~bpi/8 times per symbol
+        // with a data-dependent branch.
+        uint64_t w;
+        memcpy(&w, in + pos, 8);
+        w = __builtin_bswap64(w);
+        acc |= nbits < 64 ? (w >> nbits) : 0;
+        int64_t adv = (63 - nbits) >> 3;
+        int64_t rem = nbytes - pos;
+        if (adv > rem) adv = rem;
+        pos += adv;
+        nbits += (int)(adv << 3);
         int l = lut16[acc >> 48];
         if (l == 0) {
             for (l = 17; l <= (int)max_len; l++) {

@@ -167,9 +167,14 @@ class NativeLib:
     def shuff_unpack(self, payload, n, lut16, first_code, first_idx,
                      max_len, syms) -> np.ndarray:
         out = np.empty(n, np.uint32)
-        arr = np.frombuffer(payload, np.uint8)
+        raw = np.frombuffer(payload, np.uint8)
+        # 8 zero bytes of tail slack: the branchless refill reads one
+        # unaligned u64 at the cursor (truncation accounting still uses
+        # the real length)
+        arr = np.zeros(len(raw) + 8, np.uint8)
+        arr[:len(raw)] = raw
         rc = self._c.shuff_unpack(
-            arr, len(arr), n,
+            arr, len(raw), n,
             np.ascontiguousarray(lut16, np.uint8),
             np.ascontiguousarray(first_code, np.int64),
             np.ascontiguousarray(first_idx, np.int64), max_len,
