@@ -15,7 +15,7 @@ from . import _cli
 
 
 def run(inputs, max_i: int = 20, verify: bool = True,
-        lanes: int | None = None):
+        lanes: int | None = None, kinds=("int", "msb")):
     """lanes: pin the per-block lane count — at 21 block sizes x many
     per-block frames the default-lanes sweep compiles a fresh XLA scan
     per (S, T, log2m) triple; one S collapses the compile space (the
@@ -23,7 +23,7 @@ def run(inputs, max_i: int = 20, verify: bool = True,
     scalar coder)."""
     rows = []
     for name, values in inputs:
-        for kind in ("int", "msb"):
+        for kind in kinds:
             for i in range(max_i + 1):
                 bs = 128 * (1 << i)
                 if bs > 4 * len(values):
@@ -44,11 +44,14 @@ def main(argv=None):
     p.add_argument("--max-i", type=int, default=20)
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--lanes", type=int, default=None)
+    p.add_argument("--kinds", default="int,msb",
+                   help="comma list; one kind per process keeps the "
+                        "LLVM JIT arena bounded on long sweeps")
     args = p.parse_args(argv)
     from .. import runtime
     runtime.enable_compilation_cache()
     run(_cli.load_inputs(args), args.max_i, not args.no_verify,
-        lanes=args.lanes)
+        lanes=args.lanes, kinds=tuple(args.kinds.split(",")))
 
 
 if __name__ == "__main__":

@@ -650,8 +650,12 @@ def stage(payload: np.ndarray, states: np.ndarray, dt, n: int, *,
     R = S // 128
     stream3d = _stage_stream(payload, sec_len, WR, sw_bytes)
     tab_rows = Mr * (3 if (has_exc and not packed23) else 2)
+    # 8MB pool for the three double-buffered block sets; the kernel
+    # stack (bounded ~1.5MB by _lookup_multi_loop) and Mosaic slack
+    # take the rest of the 16MB VMEM.  The headline config (Mr=256,
+    # SWr~3584) keeps TC=128 under this budget.
     out_budget = max(1 << 20,
-                     (6 << 20) - tab_rows * 512
+                     (8 << 20) - tab_rows * 512
                      - 2 * stream3d.shape[1] * 512)
     while TC * R * 512 * 2 > out_budget and TC > 8:
         TC //= 2
