@@ -71,6 +71,23 @@ for i, s in enumerate(mh.gather_container(shard3)):
     l2, h2 = i * per, min((i + 1) * per, len(v3))
     np.testing.assert_array_equal(codec3.decode_local(s, h2 - l2),
                                   v3[l2:h2])
+# tail-escape recoding (ops/escape.py): sigma > 2^13 with a zero-loss
+# byte-aligned tail, hot mass on shard 0 and tail mass on shard 1 so
+# the LOCAL histograms disagree — the plan must derive from the global
+# allreduced model on both processes or cross-shard decode corrupts
+hot = np.repeat(np.arange(1024, dtype=np.uint32), 4)
+tail = np.arange(1024, 1024 + 8192, dtype=np.uint32)
+v4 = np.concatenate([hot, tail])  # shard 0 hot-heavy, shard 1 all tail
+lo4, hi4 = mh.local_block_slice(len(v4))
+per4 = -(-len(v4) // 2)
+codec4 = mh.MultiHostBlockCodec("ANS", lanes=32)
+shard4 = codec4.encode_local(v4[lo4:hi4])
+np.testing.assert_array_equal(codec4.decode_local(shard4, hi4 - lo4),
+                              v4[lo4:hi4])
+for i, s in enumerate(mh.gather_container(shard4)):
+    l2, h2 = i * per4, min((i + 1) * per4, len(v4))
+    np.testing.assert_array_equal(codec4.decode_local(s, h2 - l2),
+                                  v4[l2:h2])
 print("MULTIHOST_OK", pid, flush=True)
 """
 
