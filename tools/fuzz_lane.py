@@ -127,12 +127,27 @@ def main():
                             (1 << 17) - 1).astype(np.uint32)])),
             ("ANSsint-80", "forced-ramp",
              (np.arange(20000, dtype=np.uint32) % 12289)),
+            # tail-escape recoding: byte-aligned zero-loss tail folds
+            # the alphabet under 2^13 -> the SEARCH kernel decodes it
+            ("ANS", "forced-escape",
+             np.concatenate([
+                 np.repeat(np.arange(2048, dtype=np.uint32), 8),
+                 np.tile(np.arange(2048, 2048 + 10240,
+                                   dtype=np.uint32), 2)])),
+            # anchored value planes: dense alphabet, alternating-freq
+            # tail (escape declines) -> grouped with per-group padded
+            # rank planes
+            ("ANS", "forced-anchored",
+             np.concatenate([
+                 np.arange(12288, dtype=np.uint32),
+                 np.arange(0, 12288, 2, dtype=np.uint32)])),
         ]
     for name, case_name, data in forced:
+        want = "search" if case_name == "forced-escape" else "grouped"
         try:
             engines = run_case(name, case_name, data)
-            assert "grouped" in engines, \
-                f"{case_name}: expected the grouped engine, got {engines}"
+            assert want in engines, \
+                f"{case_name}: expected the {want} engine, got {engines}"
         except Exception as e:  # noqa: BLE001 - report + count
             failed += 1
             print(f"FAIL {name:10s} {case_name}: "
