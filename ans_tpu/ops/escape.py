@@ -54,11 +54,16 @@ import numpy as np
 # un-escaped alphabet already decodes at full speed.
 ESCAPE_MIN_SIGMA = (1 << 13) + 1
 
-# hot-cut candidates: the first keeps the folded alphabet inside the
-# pivot-search kernel's sigma <= 2^13 envelope (including variants);
+# hot-cut candidates: the small cuts (2^10..2^13-ish) keep the folded
+# alphabet inside the pivot-search kernel's sigma <= 2^13 envelope
+# (including variants) — and the smaller the cut, the shallower the
+# pivot search, so the plan key prefers them whenever the loss budget
+# admits it (measured: K=2^10 is loss-free on byte-aligned uniform
+# tails and shrinks uniform-2^20's folded alphabet 4112 -> 1040);
 # the larger cuts trade a grouped-engine folded alphabet (still tiny
 # planes) for less escape loss on heavy-tailed data — FORMAT CONSTANTS
-K_GRID = (1 << 12, (1 << 13) - (1 << 12) // 4, 1 << 14, 1 << 15, 1 << 16)
+K_GRID = (1 << 10, 1 << 11, 1 << 12, (1 << 13) - (1 << 12) // 4,
+          1 << 14, 1 << 15, 1 << 16)
 
 # cap on escape variants (distinct tail high parts) — FORMAT CONSTANT
 MAX_VARIANTS = 1 << 12
@@ -154,7 +159,13 @@ def plan_from_freqs(nfreqs) -> EscapePlan | None:
                                  )).sum())
             if delta > budget:
                 continue
-            key = (K + V, delta, K, nb)
+            # folded-alphabet size drives the pivot-search depth, but
+            # only coarsely (the kernel scans 128-wide pivot rows), so
+            # compare sizes in 1024-symbol buckets and let the exact
+            # loss break ties — keeps loss-free plans ahead of
+            # marginally-smaller lossy ones (uniform-2^16: sigma'=1276
+            # at +0.000% beats 1025 at +0.140%)
+            key = ((K + V + 1023) // 1024, delta, K, nb)
             if best_key is None or key < best_key:
                 best_key = key
                 best = (K, nb, var_highs, fesc, delta)

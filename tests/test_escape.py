@@ -71,6 +71,19 @@ def test_map_values_reconstruct(engaged_values):
     assert (k[mapped < plan.K] == 0).all()
 
 
+def test_small_k_prefers_loss_free():
+    """A flat 2^16 alphabet admits two near-equal folds: K=1024/nb=1
+    (sigma'=1276, loss exactly 0) and K=1024/nb=2 (sigma'=1025, but the
+    single merged bucket pays ~+0.14%).  The 1024-bucketed plan key
+    must treat the sizes as equal and pick the loss-free cut."""
+    v = np.tile(np.arange(1 << 16, dtype=np.uint32), 16)
+    plan, _ = _plan_of(v)
+    assert plan is not None
+    assert (plan.K, plan.nb) == (1024, 1)
+    assert plan.K + plan.num_variants == 1276
+    assert plan.loss_bits == 0.0
+
+
 def test_declines_small_alphabet():
     rng = np.random.default_rng(1)
     v = rng.integers(0, 5000, 1 << 14).astype(np.uint32)

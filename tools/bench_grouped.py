@@ -145,7 +145,10 @@ def main():
                 f"recoding engaged (ops/escape.py: <= 0.15% exactly-"
                 f"accounted size trade, see the bpi columns); `grouped` "
                 f"means the frequency-grouped layout with anchored "
-                f"value planes.\n",
+                f"value planes.  The small-K escape cuts (K_GRID down "
+                f"to 2^10) keep every folded alphabet near ~2^10 "
+                f"symbols, so all four ANS rows ride the shallow "
+                f"pivot search.\n",
                 "| method | dataset | sigma | engine | bpi | C++ bpi "
                 "| dec M/s | C++ dec | ratio | enc M/s | C++ enc | "
                 "ratio | ok |",
