@@ -15,10 +15,18 @@ fallback loop).
 Format: vbyte(max_sym) | vbyte(sigma) | vbyte(max_len)
         | interp(sorted distinct symbols, universe max_sym+1)
         | 6-bit code lengths per distinct symbol, MSB-first, byte-padded
-        | payload: canonical codes MSB-first, byte-padded
+        | vbyte(len s0) | vbyte(len s1) | vbyte(len s2)
+        | payload: 4 concatenated substreams s0..s3 (s3's length is the
+          remainder); substream j holds the canonical codes of elements
+          i with i mod 4 == j, MSB-first, byte-padded
 
 Codeword lengths are limited to 32 bits (freq-halving flatten for the
-pathological cases), so every code fits a u32.
+pathological cases), so every code fits a u32.  The 4-substream split
+is the reference's interleaved-ANS-states trick (ans_int.hpp:225-241)
+applied to Huffman: a single canonical-decode chain is latency-bound
+(refill -> LUT -> canonical lookup, ~11 ns/sym on 16-bit codes); four
+independent chains decoded round-robin overlap those latencies and
+roughly double both directions on this host.
 """
 
 from __future__ import annotations
@@ -91,8 +99,15 @@ def canonical_tables(lens: np.ndarray):
     first_code i64 (max_len+2,), first_idx i64 (max_len+2,))."""
     lens = np.asarray(lens, dtype=np.int64)
     max_len = int(lens.max())
-    order = np.lexsort((np.arange(len(lens)), lens))
     count_l = np.bincount(lens, minlength=max_len + 2)
+    # stable counting sort by length (== lexsort((arange, lens)); a few
+    # flatnonzero passes beat the general sort ~3x at sigma = 2^20)
+    bucket0 = np.zeros(max_len + 2, dtype=np.int64)
+    bucket0[1:] = np.cumsum(count_l)[:-1]
+    order = np.empty(len(lens), dtype=np.int64)
+    for l in np.flatnonzero(count_l):
+        idx = np.flatnonzero(lens == l)
+        order[bucket0[l]:bucket0[l] + len(idx)] = idx
     first_code = np.zeros(max_len + 2, dtype=np.int64)
     first_idx = np.zeros(max_len + 2, dtype=np.int64)
     code = idx = 0
@@ -110,8 +125,20 @@ def canonical_tables(lens: np.ndarray):
 
 
 def _build_lut16(first_code, first_idx, max_len):
-    """lut16[w] = code length of the 16-bit MSB prefix w (0 = > 16)."""
+    """lut16[w] for the 16-bit MSB prefix w: the exact code length when
+    it is <= 16, else the minimal length of any longer code with that
+    prefix (the canonical scan starts there instead of blindly at 17).
+    0 = no codeword has this prefix (corrupt stream).  Writing lengths
+    in descending order makes the smallest match win; prefix-freeness
+    keeps short-code extensions and long-code prefixes disjoint."""
     lut = np.zeros(1 << 16, dtype=np.uint8)
+    for l in range(max_len, 16, -1):
+        cnt = int(first_idx[l + 1] - first_idx[l])
+        if cnt == 0:
+            continue
+        lo = int(first_code[l]) >> (l - 16)
+        hi = ((int(first_code[l]) + cnt - 1) >> (l - 16)) + 1
+        lut[lo:hi] = l
     for l in range(min(16, max_len), 0, -1):
         lo = int(first_code[l]) << (16 - l)
         hi = (int(first_code[l]) + int(first_idx[l + 1] - first_idx[l])) \
@@ -146,12 +173,19 @@ def _pack_msb_numpy(vals: np.ndarray, lens: np.ndarray) -> bytes:
     return W.byteswap().tobytes()[: (total + 7) // 8]
 
 
-def _unpack_msb_fixed(buf: bytes, n: int, width: int) -> np.ndarray:
-    """n fixed-width MSB-first fields from a byte-padded stream."""
+def _unpack_msb_fixed(buf, n: int, width: int, offset: int = 0
+                      ) -> np.ndarray:
+    """n fixed-width MSB-first fields from a byte-padded stream (read
+    at `offset` — no slice copy).  Shift-accumulate over the width
+    beats the int64 matmul ~1.5x and stays O(n*width)."""
     nbytes = (n * width + 7) // 8
-    bits = np.unpackbits(np.frombuffer(buf, np.uint8, count=nbytes))
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8, count=nbytes,
+                                       offset=offset))
     bits = bits[: n * width].reshape(n, width)
-    return bits @ (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for k in range(width):
+        out = (out << 1) | bits[:, k]
+    return out
 
 
 def _unpack_payload_numpy(payload, n, first_code, first_idx, max_len,
@@ -219,14 +253,25 @@ class Shuff:
         # shuff_pack's own codes[id]/lens[id] indexing do the rest —
         # the numpy codes[rank[values]] double gather cost ~1.5 s at
         # n = 2^25
-        rank = np.zeros(max_sym + 1, dtype=np.uint32)
-        rank[syms] = np.arange(sigma, dtype=np.uint32)
+        # value-indexed code tables fuse the value -> dense-rank remap
+        # into the pack itself (the intermediate ids array cost a full
+        # 4n-byte write + random re-read per element: ~25% of encode at
+        # sigma = 2^20); the packer is index-agnostic — it just reads
+        # codes[x]/lens[x]
+        vcodes = np.zeros(max_sym + 1, dtype=np.uint32)
+        vcodes[syms] = codes
+        vlens = np.zeros(max_sym + 1, dtype=np.uint8)
+        vlens[syms] = lens.astype(np.uint8)
         if lib is not None:
-            ids = lib.remap_u32(rank, values)
-            out += lib.shuff_pack(ids, codes.astype(np.uint32), lens)
+            streams = lib.shuff_pack4(values, vcodes, vlens)
         else:
-            ids = rank[values]
-            out += self._pack(codes[ids], lens[ids])
+            streams = [_pack_msb_numpy(vcodes[values[j::4]],
+                                       vlens[values[j::4]])
+                       for j in range(4)]
+        for j in range(3):
+            out += vbyte.encode_u32(len(streams[j]))
+        for s in streams:
+            out += s
         record_stats(prelude_bytes=prelude_len,
                      encode_bytes=len(out) - prelude_len,
                      prelude_time_ns=t1 - t0,
@@ -248,7 +293,7 @@ class Shuff:
         syms, words = interp.decode(buf, sigma, max_sym + 1,
                                     bit_offset=pos * 8)
         pos += words * 4
-        lens = _unpack_msb_fixed(buf[pos:], sigma, 6)
+        lens = _unpack_msb_fixed(buf, sigma, 6, offset=pos)
         pos += (sigma * 6 + 7) // 8
         # the canonical tables are sized from the actual lens; a forged
         # header max_len larger than lens.max() would make the >16-bit
@@ -262,11 +307,27 @@ class Shuff:
                 f"actual {int(lens.max())}")
         _, order, first_code, first_idx = canonical_tables(lens)
         ssyms = np.asarray(syms, dtype=np.uint32)[order]
-        payload = buf[pos:]
+        slen = []
+        for _ in range(3):
+            l, pos = vbyte.decode_u32(buf, pos)
+            slen.append(l)
+        payload = memoryview(buf)[pos:]  # zero-copy (blob-sized slice)
+        if sum(slen) > len(payload):
+            raise ValueError("corrupt shuff stream (substream lengths "
+                             "exceed payload)")
+        slen.append(len(payload) - sum(slen))
         lib = _native()
         if lib is not None:
             lut16 = _build_lut16(first_code, first_idx, max_len)
-            return lib.shuff_unpack(payload, n, lut16, first_code,
-                                    first_idx, max_len, ssyms)
-        return _unpack_payload_numpy(payload, n, first_code, first_idx,
-                                     max_len, ssyms)
+            return lib.shuff_unpack4(payload, slen, n, lut16,
+                                     first_code, first_idx, max_len,
+                                     ssyms)
+        out = np.empty(n, dtype=np.uint32)
+        off = 0
+        for j in range(4):
+            nj = (n - j + 3) // 4
+            out[j::4] = _unpack_payload_numpy(
+                payload[off:off + slen[j]], nj, first_code, first_idx,
+                max_len, ssyms)
+            off += slen[j]
+        return out

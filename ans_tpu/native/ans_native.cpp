@@ -260,13 +260,18 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
         pos += adv;
         nbits += (int)(adv << 3);
         int l = lut16[acc >> 48];
-        if (l == 0) {
-            for (l = 17; l <= (int)max_len; l++) {
+        if (l > 16) {
+            // lut value = minimal length of any code with this 16-bit
+            // prefix; scan up from there (prefix-freeness makes the
+            // first canonical-range match the true length)
+            for (; l <= (int)max_len; l++) {
                 int64_t pfx = (int64_t)(acc >> (64 - l));
                 int64_t j = pfx - first_code[l];
                 if (j >= 0 && first_idx[l] + j < first_idx[l + 1]) break;
             }
             if (l > (int)max_len) return -1;
+        } else if (l == 0) {
+            return -1;  // no codeword has this prefix: corrupt
         }
         // truncated payload: the zero-refilled accumulator would keep
         // "matching" the shortest codeword forever — fail instead
@@ -279,6 +284,127 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
         used += l;
     }
     return used;
+}
+
+// 4-interleaved-substream pack: symbols at positions i with i mod 4 ==
+// j go to stream j, each an independent MSB-first byte sequence
+// written at out + j*cap4.  The single-stream pack is serial on its
+// accumulator (~10 ns/sym at 16-bit codes); four chains with
+// distance-4 dependencies run out-of-order in parallel, like the
+// reference's 4 interleaved ANS states (ans_int.hpp:225-241) applied
+// to Huffman.  The flush is branchless: store the full 8-byte
+// accumulator big-endian every symbol and advance by the completed
+// bytes (nbits stays < 8 + 32 < 64).  Returns 0 with the stream byte
+// lengths in len4[4], or -1 on overflow / length outside [1, 32].
+int64_t shuff_pack4(const uint32_t* ids, int64_t n, const uint32_t* codes,
+                    const uint8_t* lens, uint8_t* out, int64_t cap4,
+                    int64_t* len4) {
+    uint64_t acc[4] = {0, 0, 0, 0};
+    int nbits[4] = {0, 0, 0, 0};
+    int64_t pos[4];
+    for (int j = 0; j < 4; j++) pos[j] = j * cap4;
+    for (int64_t i = 0; i < n; i++) {
+        int j = (int)(i & 3);
+        uint32_t id = ids[i];
+        int l = lens[id];
+        if (l == 0 || l > 32) return -1;
+        acc[j] |= (uint64_t)codes[id] << (64 - nbits[j] - l);
+        nbits[j] += l;
+        if (pos[j] + 8 > (j + 1) * cap4) return -1;
+        uint64_t be = __builtin_bswap64(acc[j]);
+        memcpy(out + pos[j], &be, 8);
+        int adv = nbits[j] >> 3;
+        pos[j] += adv;
+        acc[j] <<= adv << 3;
+        nbits[j] &= 7;
+    }
+    for (int j = 0; j < 4; j++) {
+        if (nbits[j]) {
+            // the byte is already in place from the last 8-byte store;
+            // just include it in the stream length
+            pos[j]++;
+        }
+        len4[j] = pos[j] - j * cap4;
+    }
+    return 0;
+}
+
+// 4-substream unpack: chain j decodes out[j], out[j+4], ... from its
+// own byte range [off[j], off[j]+slen[j]) of the shared buffer.
+// Mirrors shuff_unpack, but four refill/LUT/canonical chains run in a
+// 4-wide unrolled loop with NAMED per-chain registers (an index-j
+// state array spills to the stack and costs more than the overlap
+// wins), so their L2-resident lut16/syms gathers and serial shift
+// chains overlap.  The caller pads the buffer tail by 8 zero bytes; a
+// chain's unaligned refill may read the NEXT stream's bytes, which
+// only ever lands in accumulator bits at positions >= the chain's
+// accounted nbits (the clamped advance stops at the stream end, and
+// `acc <<= l` moves the boundary and the bits together), so
+// well-formed wires decode exactly and corrupt ones stay
+// garbage-or-error with every table index in range.
+int64_t shuff_unpack4(const uint8_t* in, const int64_t* off,
+                      const int64_t* slen, int64_t n,
+                      const uint8_t* lut16, const int64_t* first_code,
+                      const int64_t* first_idx, int64_t max_len,
+                      const uint32_t* syms, uint32_t* out) {
+    if (max_len < 1 || max_len > 64) return -1;
+    uint64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+    int b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+    int64_t p0 = off[0], p1 = off[1], p2 = off[2], p3 = off[3];
+    int64_t e0 = p0 + slen[0], e1 = p1 + slen[1];
+    int64_t e2 = p2 + slen[2], e3 = p3 + slen[3];
+
+#define SHUF4_REFILL(acc, nbits, pos, end)                                 \
+    do {                                                                   \
+        uint64_t w;                                                        \
+        memcpy(&w, in + (pos), 8);                                         \
+        w = __builtin_bswap64(w);                                          \
+        (acc) |= (nbits) < 64 ? (w >> (nbits)) : 0;                        \
+        int64_t adv = (63 - (nbits)) >> 3;                                 \
+        int64_t rem = (end) - (pos);                                       \
+        if (adv > rem) adv = rem;                                          \
+        (pos) += adv;                                                      \
+        (nbits) += (int)(adv << 3);                                        \
+    } while (0)
+
+#define SHUF4_DECODE(acc, nbits, dst)                                      \
+    do {                                                                   \
+        int l = lut16[(acc) >> 48];                                        \
+        if (l > 16) {                                                      \
+            for (; l <= (int)max_len; l++) {                               \
+                int64_t pfx = (int64_t)((acc) >> (64 - l));                \
+                int64_t d = pfx - first_code[l];                           \
+                if (d >= 0 && first_idx[l] + d < first_idx[l + 1]) break;  \
+            }                                                              \
+            if (l > (int)max_len) return -1;                               \
+        } else if (l == 0) {                                               \
+            return -1; /* no codeword has this prefix: corrupt */          \
+        }                                                                  \
+        if ((nbits) < l) return -1;                                        \
+        int64_t pfx = (int64_t)((acc) >> (64 - l));                        \
+        (dst) = syms[first_idx[l] + (pfx - first_code[l])];                \
+        (acc) <<= l;                                                       \
+        (nbits) -= l;                                                      \
+    } while (0)
+
+    int64_t i = 0;
+    int64_t n4 = n & ~(int64_t)3;
+    for (; i < n4; i += 4) {
+        SHUF4_REFILL(a0, b0, p0, e0);
+        SHUF4_REFILL(a1, b1, p1, e1);
+        SHUF4_REFILL(a2, b2, p2, e2);
+        SHUF4_REFILL(a3, b3, p3, e3);
+        SHUF4_DECODE(a0, b0, out[i]);
+        SHUF4_DECODE(a1, b1, out[i + 1]);
+        SHUF4_DECODE(a2, b2, out[i + 2]);
+        SHUF4_DECODE(a3, b3, out[i + 3]);
+    }
+    if (i < n) { SHUF4_REFILL(a0, b0, p0, e0); SHUF4_DECODE(a0, b0, out[i]); i++; }
+    if (i < n) { SHUF4_REFILL(a1, b1, p1, e1); SHUF4_DECODE(a1, b1, out[i]); i++; }
+    if (i < n) { SHUF4_REFILL(a2, b2, p2, e2); SHUF4_DECODE(a2, b2, out[i]); i++; }
+#undef SHUF4_REFILL
+#undef SHUF4_DECODE
+    return 0;
 }
 
 // ----------------------------------------------------------------- tANS ---

@@ -67,6 +67,13 @@ class NativeLib:
         c.shuff_unpack.restype = ct.c_int64
         c.shuff_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u8p,
                                    _i64p, _i64p, ct.c_int64, _u32p, _u32p]
+        c.shuff_pack4.restype = ct.c_int64
+        c.shuff_pack4.argtypes = [_u32p, ct.c_int64, _u32p, _u8p, _u8p,
+                                  ct.c_int64, _i64p]
+        c.shuff_unpack4.restype = ct.c_int64
+        c.shuff_unpack4.argtypes = [_u8p, _i64p, _i64p, ct.c_int64,
+                                    _u8p, _i64p, _i64p, ct.c_int64,
+                                    _u32p, _u32p]
         c.arith_encode.restype = ct.c_int64
         c.arith_encode.argtypes = [_u64p, _i64p, _u32p, ct.c_int64,
                                    ct.c_uint32, _u8p, ct.c_int64]
@@ -163,6 +170,46 @@ class NativeLib:
         if size < 0:
             raise RuntimeError("native shuff pack overflow or len > 32")
         return out[:size].tobytes()
+
+    def shuff_pack4(self, ids, codes, lens):
+        """4-interleaved-substream MSB-first pack (lens <= 32): symbols
+        i mod 4 == j form stream j.  Returns the four streams as
+        bytes."""
+        n = len(ids)
+        # stream j holds <= ceil(n/4) codes of <= 32 bits = <= n + 4
+        # bytes, plus the 8-byte branchless-store slack
+        cap4 = n + 64
+        out = np.empty(4 * cap4, np.uint8)
+        len4 = np.zeros(4, np.int64)
+        rc = self._c.shuff_pack4(
+            np.ascontiguousarray(ids, np.uint32), n,
+            np.ascontiguousarray(codes, np.uint32),
+            np.ascontiguousarray(lens, np.uint8), out, cap4, len4)
+        if rc < 0:
+            raise RuntimeError("native shuff pack overflow or len > 32")
+        return [out[j * cap4:j * cap4 + int(len4[j])].tobytes()
+                for j in range(4)]
+
+    def shuff_unpack4(self, payload, stream_lens, n, lut16, first_code,
+                      first_idx, max_len, syms) -> np.ndarray:
+        """Decode n symbols from 4 concatenated substreams (lengths
+        stream_lens, summing to len(payload)); out[i] comes from
+        stream i mod 4."""
+        out = np.empty(n, np.uint32)
+        raw = np.frombuffer(payload, np.uint8)
+        arr = np.zeros(len(raw) + 8, np.uint8)
+        arr[:len(raw)] = raw
+        slen = np.asarray(stream_lens, np.int64)
+        off = np.concatenate([[0], np.cumsum(slen)[:3]]).astype(np.int64)
+        rc = self._c.shuff_unpack4(
+            arr, np.ascontiguousarray(off), np.ascontiguousarray(slen),
+            n, np.ascontiguousarray(lut16, np.uint8),
+            np.ascontiguousarray(first_code, np.int64),
+            np.ascontiguousarray(first_idx, np.int64), max_len,
+            np.ascontiguousarray(syms, np.uint32), out)
+        if rc < 0:
+            raise ValueError("corrupt shuff stream")
+        return out
 
     def shuff_unpack(self, payload, n, lut16, first_code, first_idx,
                      max_len, syms) -> np.ndarray:
