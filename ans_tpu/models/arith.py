@@ -9,13 +9,16 @@ power-of-two total, every present symbol >= 1) and this framework's
 vbyte+interp prelude; the wire format is self-defined (the reference's
 is its own too — no cross-compatibility requirement for baselines).
 
-Host implementation: the coder is inherently sequential (single carry
-chain), so it runs as a compiled loop in the native backend
-(ans_native.cpp arith_encode/arith_decode, same pattern as shuff/tans;
-the reference's coder is compiled sequential code too, arith.hpp:
-245-483), with the original NumPy/Python loops kept as the no-native
-fallback.  It exists as a measurement baseline, not a north-star target
-(SURVEY.md section 7 step 5).
+Host implementation: each range-coder chain is inherently sequential
+(single carry chain), so the payload rides FOUR independent substreams
+(element i on chain i mod 4, the same discipline as the shuff payload:
+vbyte(len s0..s2) then the concatenated streams) decoded round-robin
+by compiled loops in the native backend (ans_native.cpp
+arith_encode4/arith_decode4; the reference's coder is one compiled
+sequential chain, arith.hpp:245-483), with the original NumPy/Python
+loops kept as the bit-identical no-native fallback.  It exists as a
+measurement baseline, not a north-star target (SURVEY.md section 7
+step 5).
 """
 
 from __future__ import annotations
@@ -140,18 +143,32 @@ class Arith:
             out += pre2
         t1 = time.perf_counter_ns()
 
-        rank = np.zeros(max_sym + 1, dtype=np.uint32)
-        rank[syms] = np.arange(sigma, dtype=np.uint32)
+        prelude_len = len(out)
+        # 4 interleaved substreams (element i rides chain i mod 4), the
+        # same discipline as the shuff payload: four independent carry
+        # chains overlap the serial range updates and the per-symbol
+        # model gather.  The native path reads a VALUE-indexed packed
+        # table (cum<<32|freq), fusing the dense-rank remap away.
         if lib is not None:
-            ids = lib.remap_u32(rank, values)
-            payload = lib.arith_encode(cum, freq, ids, total_log2)
+            vcumfq = np.zeros(max_sym + 1, dtype=np.uint64)
+            vcumfq[syms] = ((cum[:-1].astype(np.uint64) << np.uint64(32))
+                            | freq.astype(np.uint64))
+            streams = lib.arith_encode4(values, vcumfq, total_log2)
         else:
+            rank = np.zeros(max_sym + 1, dtype=np.uint32)
+            rank[syms] = np.arange(sigma, dtype=np.uint32)
             ids = rank[values]
-            payload = self._encode_payload_python(cum, freq, ids, total)
-        record_stats(prelude_bytes=len(out), encode_bytes=len(payload),
+            streams = [self._encode_payload_python(cum, freq, ids[j::4],
+                                                   total)
+                       for j in range(4)]
+        for j in range(3):
+            out += vbyte.encode_u32(len(streams[j]))
+        for s in streams:
+            out += s
+        record_stats(prelude_bytes=prelude_len,
+                     encode_bytes=len(out) - prelude_len,
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)
-        out += payload
         return bytes(out)
 
     @staticmethod
@@ -228,24 +245,48 @@ class Arith:
                              "table in prelude")
         cum = np.concatenate(([0], np.cumsum(freq)))
         syms = np.asarray(syms, dtype=np.uint32)
+        slen = []
+        for _ in range(3):
+            l, pos = vbyte.decode_u32(buf, pos)
+            slen.append(l)
+        payload = memoryview(buf)[pos:]
+        if sum(slen) > len(payload):
+            raise ValueError("corrupt arith stream (substream lengths "
+                             "exceed payload)")
+        slen.append(len(payload) - sum(slen))
         lib = _native()
         if lib is not None:
-            ids = lib.arith_decode(bytes(buf[pos:]), cum, total_log2, n)
+            ids = lib.arith_decode4(payload, slen, cum, total_log2, n)
             return syms[ids]
         cum_l = cum.tolist()
         freq_l = freq.tolist()
+        out = np.empty(n, dtype=np.uint32)
+        off = 0
+        for j in range(4):
+            nj = (n - j + 3) // 4
+            ids = self._decode_payload_python(
+                payload, off, off + slen[j], cum_l, freq_l, total, nj)
+            out[j::4] = syms[ids]
+            off += slen[j]
+        return out
 
+    @staticmethod
+    def _decode_payload_python(buf, start, end, cum_l, freq_l, total,
+                               n):
         low, rng, code = 0, _MASK, 0
-        p = pos
+        p = start
         for _ in range(8):
-            code = ((code << 8) | (buf[p] if p < len(buf) else 0)) & _MASK
+            code = ((code << 8) | (buf[p] if p < end else 0)) & _MASK
             p += 1
         out = np.empty(n, dtype=np.uint32)
         for i in range(n):
             r = rng // total
+            if r == 0:
+                raise ValueError(
+                    "corrupt arith stream (range collapsed)")
             target = min(((code - low) & _MASK) // r, total - 1)
             k = bisect.bisect_right(cum_l, target) - 1
-            out[i] = syms[k]
+            out[i] = k
             low = (low + r * cum_l[k]) & _MASK
             rng = r * freq_l[k]
             while True:
@@ -255,7 +296,7 @@ class Arith:
                     rng = (-low) & (_BOT - 1)
                 else:
                     break
-                code = ((code << 8) | (buf[p] if p < len(buf) else 0)) \
+                code = ((code << 8) | (buf[p] if p < end else 0)) \
                     & _MASK
                 low = (low << 8) & _MASK
                 rng = (rng << 8) & _MASK

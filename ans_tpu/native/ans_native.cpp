@@ -570,125 +570,162 @@ int64_t tans_decode(const uint8_t* payload, int64_t total_bits,
 
 // --------------------------------------------------- arith range coder ---
 // Compiled twins of the models/arith.py hot loops (64-bit carryless
-// range coder, Subbotin scheme).  Bit-exact with the Python loops: all
-// arithmetic is mod 2^64, the model (cum/freq) is built by the caller.
-// The coder stays inherently sequential (single carry chain) — the
-// reference's is a compiled sequential loop too (arith.hpp:245-483);
-// this closes the two-orders-of-magnitude gap of the pure-Python
-// baseline without changing the wire format.
+// range coder, Subbotin scheme).  Bit-exact with the Python fallback:
+// all arithmetic is mod 2^64, the model (cum/freq) is built by the
+// caller.  Each chain stays inherently sequential (single carry
+// chain) — the reference's coder is one such chain (arith.hpp:
+// 245-483); this wire splits the input over FOUR independent chains
+// (element i mod 4), the same substream discipline as shuff_pack4.
 
 static const uint64_t ARITH_TOP = 1ULL << 56;
 static const uint64_t ARITH_BOT = 1ULL << 48;
 
-// Sequential-input variant: the caller pre-gathers cum<<32|freq per
-// symbol with one vectorized numpy take (the random per-symbol table
-// reads were the bottleneck of the id-indexed loop: ~127ns/sym on a
-// 2MB model vs ~10ns streaming).  Requires tl2 <= 31 (32/32 packing).
-int64_t arith_encode_packed(const uint64_t* lofq, int64_t n,
-                            uint32_t tl2, uint8_t* out, int64_t cap) {
-    uint64_t low = 0, rng = ~0ULL;
-    int64_t w = 0;
-    for (int64_t i = 0; i < n; i++) {
-        uint64_t v = lofq[i];
-        uint64_t r = rng >> tl2;
-        low += r * (v >> 32);
-        rng = r * (v & 0xFFFFFFFFULL);
-        for (;;) {
-            if ((low ^ (low + rng)) < ARITH_TOP) {
-            } else if (rng < ARITH_BOT) {
-                rng = (0 - low) & (ARITH_BOT - 1);
-            } else {
-                break;
-            }
-            if (w >= cap) return -1;
-            out[w++] = (uint8_t)(low >> 56);
-            low <<= 8;
-            rng <<= 8;
-        }
+// 4-interleaved-substream encode: element i rides chain i mod 4, each
+// chain an independent carryless range coder writing its own byte
+// stream at out + j*cap4 (same substream discipline as shuff_pack4 —
+// the single coder is serial on low/rng and on the per-symbol
+// vcumfq[x] gather; four named-register chains overlap both).
+// vcumfq[x] = cum[x] << 32 | freq[x] indexed directly by the coded
+// value (the caller builds it value-indexed, fusing the dense-rank
+// remap away); tl2 = log2(model total) <= 31.  Returns 0 with stream
+// byte lengths in len4[4], or -1 on overflow.
+int64_t arith_encode4(const uint64_t* vcumfq, const uint32_t* xs,
+                      int64_t n, uint32_t tl2, uint8_t* out,
+                      int64_t cap4, int64_t* len4) {
+    uint64_t lo0 = 0, lo1 = 0, lo2 = 0, lo3 = 0;
+    uint64_t rg0 = ~0ULL, rg1 = ~0ULL, rg2 = ~0ULL, rg3 = ~0ULL;
+    int64_t w0 = 0, w1 = cap4, w2 = 2 * cap4, w3 = 3 * cap4;
+    const int64_t m0 = cap4, m1 = 2 * cap4, m2 = 3 * cap4, m3 = 4 * cap4;
+
+// Settled top bytes batch exactly: one emit shifts low/rng left 8, so
+// the settle test x = low^(low+rng) just shifts too (x' = x<<8) — the
+// byte-at-a-time loop emits exactly clz(x)>>3 bytes before the test
+// flips.  One 8-byte store covers them all (b <= 7), removing the
+// per-byte branch the original loop mispredicted ~once per symbol.
+#define ARITH4_STEP(low, rng, w, lim, x)                                   \
+    do {                                                                   \
+        uint64_t v = vcumfq[x];                                            \
+        uint64_t r = (rng) >> tl2;                                         \
+        (low) += r * (v >> 32);                                            \
+        (rng) = r * (v & 0xFFFFFFFFULL);                                   \
+        for (;;) {                                                         \
+            uint64_t xr = (low) ^ ((low) + (rng));                         \
+            if (xr < ARITH_TOP) {                                          \
+                int b = __builtin_clzll(xr | 1) >> 3; /* in [1,7] */       \
+                if ((w) + 8 > (lim)) return -1;                            \
+                uint64_t be = __builtin_bswap64(low);                      \
+                memcpy(out + (w), &be, 8);                                 \
+                (w) += b;                                                  \
+                (low) <<= b << 3;                                          \
+                (rng) <<= b << 3;                                          \
+            } else if ((rng) < ARITH_BOT) {                                \
+                /* range underflow: clamp rng to the BOT boundary and  */  \
+                /* emit one byte (the un-batched original fell through */  \
+                /* to the shared emit here)                            */  \
+                (rng) = (0 - (low)) & (ARITH_BOT - 1);                     \
+                if ((w) >= (lim)) return -1;                               \
+                out[(w)++] = (uint8_t)((low) >> 56);                       \
+                (low) <<= 8;                                               \
+                (rng) <<= 8;                                               \
+            } else {                                                       \
+                break;                                                     \
+            }                                                              \
+        }                                                                  \
+    } while (0)
+
+    int64_t i = 0;
+    int64_t n4 = n & ~(int64_t)3;
+    for (; i < n4; i += 4) {
+        ARITH4_STEP(lo0, rg0, w0, m0, xs[i]);
+        ARITH4_STEP(lo1, rg1, w1, m1, xs[i + 1]);
+        ARITH4_STEP(lo2, rg2, w2, m2, xs[i + 2]);
+        ARITH4_STEP(lo3, rg3, w3, m3, xs[i + 3]);
     }
+    if (i < n) { ARITH4_STEP(lo0, rg0, w0, m0, xs[i]); i++; }
+    if (i < n) { ARITH4_STEP(lo1, rg1, w1, m1, xs[i]); i++; }
+    if (i < n) { ARITH4_STEP(lo2, rg2, w2, m2, xs[i]); i++; }
+#undef ARITH4_STEP
     for (int j = 0; j < 8; j++) {
-        if (w >= cap) return -1;
-        out[w++] = (uint8_t)(low >> 56);
-        low <<= 8;
+        if (w0 >= m0 || w1 >= m1 || w2 >= m2 || w3 >= m3) return -1;
+        out[w0++] = (uint8_t)(lo0 >> 56); lo0 <<= 8;
+        out[w1++] = (uint8_t)(lo1 >> 56); lo1 <<= 8;
+        out[w2++] = (uint8_t)(lo2 >> 56); lo2 <<= 8;
+        out[w3++] = (uint8_t)(lo3 >> 56); lo3 <<= 8;
     }
-    return w;
+    len4[0] = w0;
+    len4[1] = w1 - cap4;
+    len4[2] = w2 - 2 * cap4;
+    len4[3] = w3 - 3 * cap4;
+    return 0;
 }
 
-int64_t arith_encode(const uint64_t* cum, const int64_t* freq,
-                     const uint32_t* ids, int64_t n, uint32_t tl2,
-                     uint8_t* out, int64_t cap) {
-    // the model total is always 2^tl2 (arith.py _scale_counts), so the
-    // per-symbol u64 division of the generic scheme is a shift
-    uint64_t low = 0, rng = ~0ULL;
-    int64_t w = 0;
-    for (int64_t i = 0; i < n; i++) {
-        uint32_t k = ids[i];
-        uint64_t r = rng >> tl2;
-        low += r * cum[k];
-        rng = r * (uint64_t)freq[k];
-        for (;;) {
-            if ((low ^ (low + rng)) < ARITH_TOP) {
-            } else if (rng < ARITH_BOT) {
-                rng = (0 - low) & (ARITH_BOT - 1);
-            } else {
-                break;
-            }
-            if (w >= cap) return -1;
-            out[w++] = (uint8_t)(low >> 56);
-            low <<= 8;
-            rng <<= 8;
-        }
-    }
-    for (int j = 0; j < 8; j++) {
-        if (w >= cap) return -1;
-        out[w++] = (uint8_t)(low >> 56);
-        low <<= 8;
-    }
-    return w;
-}
-
-int64_t arith_decode(const uint8_t* buf, int64_t nbytes,
-                     const uint64_t* cum, int64_t sigma, uint32_t tl2,
-                     const uint32_t* jump, int64_t n,
-                     uint32_t* out_ids) {
-    // jump: 2^16+1 entries, jump[b] = last k with cum[k] <= b << (tl2-16)
-    // (numpy-searchsorted by the caller) — narrows the per-symbol search
-    // to one bucket's symbols (usually 0-2 probe steps on skewed data)
-    (void)sigma;
+// 4-substream decode twin: chain j reads its own byte range
+// [off[j], off[j]+slen[j]) and produces out_ids[j], out_ids[j+4], ...
+// Reads past a chain's end are explicit zeros (the `p < end` select),
+// so substream concatenation cannot leak bytes across chains.  jump:
+// 2^16+1 entries, jump[b] = last k with cum[k] <= b << (tl2-16) —
+// narrows the per-symbol cumulative search to one bucket.
+int64_t arith_decode4(const uint8_t* buf, const int64_t* off,
+                      const int64_t* slen, const uint64_t* cum,
+                      uint32_t tl2, const uint32_t* jump, int64_t n,
+                      uint32_t* out_ids) {
     const uint64_t total = 1ULL << tl2;
     const uint32_t jshift = tl2 - 16;
-    uint64_t low = 0, rng = ~0ULL, code = 0;
-    int64_t p = 0;
-    for (int j = 0; j < 8; j++)
-        code = (code << 8) | (p < nbytes ? buf[p++] : (p++, 0));
-    for (int64_t i = 0; i < n; i++) {
-        uint64_t r = rng >> tl2;
-        if (!r) return -1;  // collapsed range = corrupt stream/model
-        uint64_t target = (code - low) / r;
-        if (target > total - 1) target = total - 1;
-        uint64_t b = target >> jshift;
-        int64_t lo = jump[b], hi = (int64_t)jump[b + 1] + 1;
-        while (hi - lo > 1) {
-            int64_t mid = (lo + hi) >> 1;
-            if (cum[mid] <= target) lo = mid; else hi = mid;
-        }
-        out_ids[i] = (uint32_t)lo;
-        uint64_t f = cum[lo + 1] - cum[lo];
-        low += r * cum[lo];
-        rng = r * f;
-        for (;;) {
-            if ((low ^ (low + rng)) < ARITH_TOP) {
-            } else if (rng < ARITH_BOT) {
-                rng = (0 - low) & (ARITH_BOT - 1);
-            } else {
-                break;
-            }
-            code = (code << 8) | (p < nbytes ? buf[p++] : (p++, 0));
-            low <<= 8;
-            rng <<= 8;
-        }
+    uint64_t lo0 = 0, lo1 = 0, lo2 = 0, lo3 = 0;
+    uint64_t rg0 = ~0ULL, rg1 = ~0ULL, rg2 = ~0ULL, rg3 = ~0ULL;
+    uint64_t cd0 = 0, cd1 = 0, cd2 = 0, cd3 = 0;
+    int64_t p0 = off[0], p1 = off[1], p2 = off[2], p3 = off[3];
+    const int64_t e0 = p0 + slen[0], e1 = p1 + slen[1];
+    const int64_t e2 = p2 + slen[2], e3 = p3 + slen[3];
+    for (int j = 0; j < 8; j++) {
+        cd0 = (cd0 << 8) | (p0 < e0 ? buf[p0++] : (p0++, 0));
+        cd1 = (cd1 << 8) | (p1 < e1 ? buf[p1++] : (p1++, 0));
+        cd2 = (cd2 << 8) | (p2 < e2 ? buf[p2++] : (p2++, 0));
+        cd3 = (cd3 << 8) | (p3 < e3 ? buf[p3++] : (p3++, 0));
     }
-    return p;
+
+#define ARITH4_DEC(low, rng, code, p, end, dst)                            \
+    do {                                                                   \
+        uint64_t r = (rng) >> tl2;                                         \
+        if (!r) return -1; /* collapsed range = corrupt stream/model */    \
+        uint64_t target = ((code) - (low)) / r;                            \
+        if (target > total - 1) target = total - 1;                        \
+        uint64_t b = target >> jshift;                                     \
+        int64_t lo_ = jump[b], hi_ = (int64_t)jump[b + 1] + 1;             \
+        while (hi_ - lo_ > 1) {                                            \
+            int64_t mid = (lo_ + hi_) >> 1;                                \
+            if (cum[mid] <= target) lo_ = mid; else hi_ = mid;             \
+        }                                                                  \
+        (dst) = (uint32_t)lo_;                                             \
+        uint64_t f = cum[lo_ + 1] - cum[lo_];                              \
+        (low) += r * cum[lo_];                                             \
+        (rng) = r * f;                                                     \
+        for (;;) {                                                         \
+            if (((low) ^ ((low) + (rng))) < ARITH_TOP) {                   \
+            } else if ((rng) < ARITH_BOT) {                                \
+                (rng) = (0 - (low)) & (ARITH_BOT - 1);                     \
+            } else {                                                       \
+                break;                                                     \
+            }                                                              \
+            (code) = ((code) << 8) | ((p) < (end) ? buf[(p)++] : ((p)++, 0)); \
+            (low) <<= 8;                                                   \
+            (rng) <<= 8;                                                   \
+        }                                                                  \
+    } while (0)
+
+    int64_t i = 0;
+    int64_t n4 = n & ~(int64_t)3;
+    for (; i < n4; i += 4) {
+        ARITH4_DEC(lo0, rg0, cd0, p0, e0, out_ids[i]);
+        ARITH4_DEC(lo1, rg1, cd1, p1, e1, out_ids[i + 1]);
+        ARITH4_DEC(lo2, rg2, cd2, p2, e2, out_ids[i + 2]);
+        ARITH4_DEC(lo3, rg3, cd3, p3, e3, out_ids[i + 3]);
+    }
+    if (i < n) { ARITH4_DEC(lo0, rg0, cd0, p0, e0, out_ids[i]); i++; }
+    if (i < n) { ARITH4_DEC(lo1, rg1, cd1, p1, e1, out_ids[i]); i++; }
+    if (i < n) { ARITH4_DEC(lo2, rg2, cd2, p2, e2, out_ids[i]); i++; }
+#undef ARITH4_DEC
+    return 0;
 }
 
 }  // extern "C"

@@ -74,15 +74,13 @@ class NativeLib:
         c.shuff_unpack4.argtypes = [_u8p, _i64p, _i64p, ct.c_int64,
                                     _u8p, _i64p, _i64p, ct.c_int64,
                                     _u32p, _u32p]
-        c.arith_encode.restype = ct.c_int64
-        c.arith_encode.argtypes = [_u64p, _i64p, _u32p, ct.c_int64,
-                                   ct.c_uint32, _u8p, ct.c_int64]
-        c.arith_encode_packed.restype = ct.c_int64
-        c.arith_encode_packed.argtypes = [_u64p, ct.c_int64, ct.c_uint32,
-                                          _u8p, ct.c_int64]
-        c.arith_decode.restype = ct.c_int64
-        c.arith_decode.argtypes = [_u8p, ct.c_int64, _u64p, ct.c_int64,
-                                   ct.c_uint32, _u32p, ct.c_int64, _u32p]
+        c.arith_encode4.restype = ct.c_int64
+        c.arith_encode4.argtypes = [_u64p, _u32p, ct.c_int64,
+                                    ct.c_uint32, _u8p, ct.c_int64, _i64p]
+        c.arith_decode4.restype = ct.c_int64
+        c.arith_decode4.argtypes = [_u8p, _i64p, _i64p, _u64p,
+                                    ct.c_uint32, _u32p, ct.c_int64,
+                                    _u32p]
 
     @classmethod
     def try_load(cls):
@@ -232,47 +230,45 @@ class NativeLib:
 
     # ---- arith range coder -------------------------------------------
 
-    def arith_encode(self, cum, freq, ids, total_log2: int) -> bytes:
-        """Payload bytes of the 64-bit range coder (models/arith.py
-        semantics, total = 2^total_log2; retries with a larger buffer
-        on overflow)."""
-        n = len(ids)
-        cum = np.ascontiguousarray(cum, np.uint64)
-        freq = np.ascontiguousarray(freq, np.int64)
-        ids = np.ascontiguousarray(ids, np.uint32)
-        packed = None
-        if total_log2 <= 31:
-            # one vectorized gather beats per-symbol random table reads
-            packed = ((cum[:-1] << np.uint64(32))
-                      | freq.astype(np.uint64))[ids]
-        cap = 4 * n + 64
+    def arith_encode4(self, values, vcumfq, total_log2: int):
+        """4-substream range-coder payload (models/arith.py wire):
+        element i rides chain i mod 4.  vcumfq[x] = cum<<32|freq
+        indexed directly by the coded value (total_log2 <= 31 keeps the
+        32/32 packing exact).  Returns the four streams as bytes;
+        retries with a larger buffer on overflow."""
+        n = len(values)
+        values = np.ascontiguousarray(values, np.uint32)
+        vcumfq = np.ascontiguousarray(vcumfq, np.uint64)
+        cap4 = n + 64
         while True:
-            out = np.empty(cap, np.uint8)
-            if packed is not None:
-                w = self._c.arith_encode_packed(packed, n, total_log2,
-                                                out, cap)
-            else:
-                w = self._c.arith_encode(cum, freq, ids, n, total_log2,
-                                         out, cap)
-            if w >= 0:
-                return out[:w].tobytes()
-            if cap > 10 * n + 64:
+            out = np.empty(4 * cap4, np.uint8)
+            len4 = np.zeros(4, np.int64)
+            rc = self._c.arith_encode4(vcumfq, values, n, total_log2,
+                                       out, cap4, len4)
+            if rc == 0:
+                return [out[j * cap4:j * cap4 + int(len4[j])].tobytes()
+                        for j in range(4)]
+            if cap4 > 3 * n + 64:
                 raise RuntimeError("arith encoder overflow")  # unreachable
-            cap = cap * 2 + 64
+            cap4 = cap4 * 2 + 64
 
-    def arith_decode(self, payload, cum, total_log2: int,
-                     n: int) -> np.ndarray:
-        """Symbol ids (indexes into the present-symbol list)."""
+    def arith_decode4(self, payload, stream_lens, cum, total_log2: int,
+                      n: int) -> np.ndarray:
+        """Symbol ids from 4 concatenated substreams (lengths
+        stream_lens); out[i] comes from stream i mod 4."""
         out = np.empty(n, np.uint32)
         arr = np.frombuffer(payload, np.uint8)
         cum = np.ascontiguousarray(cum, np.uint64)
+        slen = np.asarray(stream_lens, np.int64)
+        off = np.concatenate([[0], np.cumsum(slen)[:3]]).astype(np.int64)
         # 16-bit jump table: last k with cum[k] <= b << (tl2-16)
         bvals = (np.arange((1 << 16) + 1, dtype=np.uint64)
                  << np.uint64(total_log2 - 16))
         jump = (np.searchsorted(cum, bvals, side="right") - 1).clip(
             0, len(cum) - 2).astype(np.uint32)
-        rc = self._c.arith_decode(arr, len(arr), cum, len(cum) - 1,
-                                  total_log2, jump, n, out)
+        rc = self._c.arith_decode4(arr, np.ascontiguousarray(off),
+                                   np.ascontiguousarray(slen), cum,
+                                   total_log2, jump, n, out)
         if rc < 0:
             raise ValueError("corrupt arith stream (range collapsed)")
         return out
