@@ -297,13 +297,38 @@ int64_t shuff_unpack(const uint8_t* in, int64_t nbytes, int64_t n,
 // bytes (nbits stays < 8 + 32 < 64).  Returns 0 with the stream byte
 // lengths in len4[4], or -1 on overflow / length outside [1, 32].
 int64_t shuff_pack4(const uint32_t* ids, int64_t n, const uint32_t* codes,
-                    const uint8_t* lens, uint8_t* out, int64_t cap4,
-                    int64_t* len4) {
+                    const uint8_t* lens, int64_t max_len, uint8_t* out,
+                    int64_t cap4, int64_t* len4) {
     uint64_t acc[4] = {0, 0, 0, 0};
     int nbits[4] = {0, 0, 0, 0};
     int64_t pos[4];
-    for (int j = 0; j < 4; j++) pos[j] = j * cap4;
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t j = 0; j < 4; j++) pos[j] = j * cap4;
+    int64_t i = 0;
+    if (max_len >= 1 && max_len <= 28) {
+        // two codes always fit one flush (7 + 2*28 < 64): insert a
+        // pair per chain per 8-group and halve the stores + loop
+        // skeleton; the emitted bytes are identical to the one-symbol
+        // path (same MSB-first stream, same byte boundaries)
+        for (; i + 8 <= n; i += 8) {
+            for (int j = 0; j < 4; j++) {
+                uint32_t a = ids[i + j], b = ids[i + 4 + j];
+                int la = lens[a], lb = lens[b];
+                if (la == 0 || lb == 0) return -1;
+                uint64_t v = ((uint64_t)codes[a] << (64 - la))
+                    | ((uint64_t)codes[b] << (64 - la - lb));
+                acc[j] |= v >> nbits[j];
+                nbits[j] += la + lb;
+                if (pos[j] + 8 > (j + 1) * cap4) return -1;
+                uint64_t be = __builtin_bswap64(acc[j]);
+                memcpy(out + pos[j], &be, 8);
+                int adv = nbits[j] >> 3;
+                pos[j] += adv;
+                acc[j] <<= adv << 3;
+                nbits[j] &= 7;
+            }
+        }
+    }
+    for (; i < n; i++) {
         int j = (int)(i & 3);
         uint32_t id = ids[i];
         int l = lens[id];

@@ -68,8 +68,8 @@ class NativeLib:
         c.shuff_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, _u8p,
                                    _i64p, _i64p, ct.c_int64, _u32p, _u32p]
         c.shuff_pack4.restype = ct.c_int64
-        c.shuff_pack4.argtypes = [_u32p, ct.c_int64, _u32p, _u8p, _u8p,
-                                  ct.c_int64, _i64p]
+        c.shuff_pack4.argtypes = [_u32p, ct.c_int64, _u32p, _u8p,
+                                  ct.c_int64, _u8p, ct.c_int64, _i64p]
         c.shuff_unpack4.restype = ct.c_int64
         c.shuff_unpack4.argtypes = [_u8p, _i64p, _i64p, ct.c_int64,
                                     _u8p, _i64p, _i64p, ct.c_int64,
@@ -179,10 +179,11 @@ class NativeLib:
         cap4 = n + 64
         out = np.empty(4 * cap4, np.uint8)
         len4 = np.zeros(4, np.int64)
+        lens = np.ascontiguousarray(lens, np.uint8)
         rc = self._c.shuff_pack4(
             np.ascontiguousarray(ids, np.uint32), n,
-            np.ascontiguousarray(codes, np.uint32),
-            np.ascontiguousarray(lens, np.uint8), out, cap4, len4)
+            np.ascontiguousarray(codes, np.uint32), lens,
+            int(lens.max()) if len(lens) else 0, out, cap4, len4)
         if rc < 0:
             raise RuntimeError("native shuff pack overflow or len > 32")
         return [out[j * cap4:j * cap4 + int(len4[j])].tobytes()
