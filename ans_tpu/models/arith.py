@@ -163,13 +163,14 @@ class Arith:
                        for j in range(4)]
         for j in range(3):
             out += vbyte.encode_u32(len(streams[j]))
-        for s in streams:
-            out += s
+        # one-pass assembly (see models/shuff.py): each stream is a
+        # memoryview into the native output buffer, copied exactly once
+        blob = b"".join([bytes(out), *streams])
         record_stats(prelude_bytes=prelude_len,
-                     encode_bytes=len(out) - prelude_len,
+                     encode_bytes=len(blob) - prelude_len,
                      prelude_time_ns=t1 - t0,
                      encode_time_ns=time.perf_counter_ns() - t1)
-        return bytes(out)
+        return blob
 
     @staticmethod
     def _encode_payload_python(cum, freq, ids, total) -> bytes:

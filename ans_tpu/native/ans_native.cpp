@@ -374,12 +374,29 @@ int64_t shuff_unpack4(const uint8_t* in, const int64_t* off,
                       const uint32_t* syms, uint32_t* out) {
     if (max_len < 1 || max_len > 64) return -1;
     // fold the two per-length tables into one offset (sym index =
-    // offs[l] + prefix) and one bound (cnt[l]) so the hot path loads
-    // once per table; max_len <= 64 keeps these on the stack
-    int64_t offs[66], cnt[66];
-    for (int64_t l = 0; l <= max_len + 1; l++) {
+    // offs[l] + prefix) so the hot path loads once per table, and
+    // precompute lim1[l] = the LAST left-justified accumulator value
+    // that decodes at length l: lim1[l] = ((first_code[l] + cnt[l])
+    // << (64-l)) - 1, computed in 128-bit so the complete-code top
+    // (2^64) saturates to UINT64_MAX.  Canonical codes tile the
+    // left-justified space contiguously (first_code[l+1] =
+    // (first_code[l]+cnt[l]) << 1), so lim1 is monotone and
+    // "length of acc" = first l with acc <= lim1[l] — the long-code
+    // scan becomes one load + compare per step instead of the old
+    // shift + subtract + two-load range test, and any acc <= the
+    // final lim1 yields an in-range syms index even on garbage input
+    // (acc beyond it is the incomplete-code gap: return -1).
+    // max_len <= 64 keeps these on the stack.
+    int64_t offs[67];
+    uint64_t lim1[67];
+    for (int64_t l = 0; l < 67; l++) { offs[l] = 0; lim1[l] = ~0ULL; }
+    for (int64_t l = 0; l <= max_len; l++) {
         offs[l] = first_idx[l] - first_code[l];
-        cnt[l] = (l <= max_len) ? first_idx[l + 1] - first_idx[l] : 0;
+        unsigned __int128 end =
+            (unsigned __int128)(first_code[l] + first_idx[l + 1]
+                                - first_idx[l]) << (64 - l);
+        lim1[l] = end ? (uint64_t)(end - 1) : 0;
+        if (end >> 64) lim1[l] = ~0ULL;
     }
     uint64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
     int b0 = 0, b1 = 0, b2 = 0, b3 = 0;
@@ -400,25 +417,26 @@ int64_t shuff_unpack4(const uint8_t* in, const int64_t* off,
         (nbits) += (int)(adv << 3);                                        \
     } while (0)
 
-// the unsigned compare of (pfx - first_code[l]) against cnt[l] fuses
-// the old j >= 0 && j < count pair; the loop bound check doubles as
-// the corrupt-prefix guard (a gap prefix exhausts every length)
+// long codes: lut16 gives the minimal length of any code with this
+// 16-bit prefix; two branchless lim1 steps absorb the common 1-2
+// length spread (uniform-ish alphabets alternate l/l+1 every symbol,
+// which as a loop branch mispredicts ~once per symbol), then the loop
+// mops up heavy-tailed length sets.  l never exceeds max_len+1
+// (lim1 past max_len is all-ones), and the two branchless steps stay
+// inside lim1[67] since the lut start is <= max_len <= 64.
 #define SHUF4_DECODE(acc, nbits, dst)                                      \
     do {                                                                   \
         int l = lut16[(acc) >> 48];                                        \
-        int64_t pfx;                                                       \
         if (l > 16) {                                                      \
-            for (;; l++) {                                                 \
-                if (l > (int)max_len) return -1;                           \
-                pfx = (int64_t)((acc) >> (64 - l));                        \
-                if ((uint64_t)(pfx - first_code[l]) < (uint64_t)cnt[l])    \
-                    break;                                                 \
-            }                                                              \
-        } else {                                                           \
-            if (l == 0) return -1; /* no codeword has this prefix */       \
-            pfx = (int64_t)((acc) >> (64 - l));                            \
+            l += (acc) > lim1[l];                                          \
+            l += (acc) > lim1[l];                                          \
+            while ((acc) > lim1[l]) l++;                                   \
+            if (l > (int)max_len) return -1; /* incomplete-code gap */     \
+        } else if (l == 0) {                                               \
+            return -1; /* no codeword has this prefix */                   \
         }                                                                  \
         if ((nbits) < l) return -1;                                        \
+        int64_t pfx = (int64_t)((acc) >> (64 - l));                        \
         (dst) = syms[offs[l] + pfx];                                       \
         (acc) <<= l;                                                       \
         (nbits) -= l;                                                      \
